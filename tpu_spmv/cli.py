@@ -1,0 +1,136 @@
+"""Command-line benchmark driver.
+
+Reference parity: ``main.cpp`` (`/root/reference/main.cpp:18-126`) — load a
+MatrixMarket file, sweep all formats, print the ``### <FMT> <MODE> GFLOPS``
+protocol lines.  Upgrades over the reference's positional-argv config
+(SURVEY.md §5 "Config / flag system"): a real argparse CLI with format
+selection, dtype policy, iteration count, synthetic-matrix generation (no
+network egress needed), and an actually-enforced correctness gate.
+
+Usage::
+
+    python -m tpu_spmv matrix.mtx                    # sweep all formats
+    python -m tpu_spmv --synthetic laplacian:512     # 512x512-grid Poisson
+    python -m tpu_spmv matrix.mtx --formats csr,ell --dtype float32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _parse_synthetic(spec: str):
+    """``name:arg1[,arg2...]`` → scipy matrix via tpu_spmv.utils."""
+    from . import utils
+
+    name, _, argstr = spec.partition(":")
+    args = [int(a) for a in argstr.split(",")] if argstr else []
+    gens = {
+        "laplacian": lambda n=256, m=None: utils.laplacian_2d(n, m),
+        "random": lambda n=4096, m=None, d=None: utils.random_sparse(
+            n, m or n, (d or 10) / 1000.0
+        ),
+        "banded": lambda n=65536, b=5: utils.banded(n, b),
+        "powerlaw": lambda n=65536, k=8: utils.power_law(n, n, k),
+    }
+    if name not in gens:
+        raise SystemExit(f"unknown synthetic matrix {name!r}; valid: {sorted(gens)}")
+    return gens[name](*args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_spmv",
+        description="TPU-native SpMV benchmark (arm-spmv capability parity)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("matrix", nargs="?", help="MatrixMarket .mtx[.gz] file")
+    src.add_argument(
+        "--synthetic", metavar="SPEC",
+        help="generate a matrix: laplacian:N | random:N[,M,density_permille] "
+             "| banded:N[,bw] | powerlaw:N[,avg_nnz]",
+    )
+    p.add_argument("--formats", default="coo,csr,csc,ell,dia,bsr",
+                   help="comma-separated format list")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"],
+                   help="compute dtype (float64 enables JAX x64 mode)")
+    p.add_argument("--iters", type=int, default=50,
+                   help="timed iterations per format (reference NUM_TEST=50)")
+    p.add_argument("--no-check", action="store_true",
+                   help="skip the correctness gate (reference behavior, Q1)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use hand-tiled Pallas kernels where available")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON line per result instead of text")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from . import COO, read_matrix
+    from .bench import bench_format_sweep
+
+    dtype = dict(float32=jnp.float32, float64=jnp.float64,
+                 bfloat16=jnp.bfloat16)[args.dtype]
+
+    if args.synthetic:
+        sp_mat = _parse_synthetic(args.synthetic).tocoo()
+        coo = COO.from_arrays(sp_mat.row, sp_mat.col, sp_mat.data,
+                              sp_mat.shape, dtype=dtype)
+        print(f"synthetic {args.synthetic}: shape={coo.shape} nnz={coo.nnz}")
+    else:
+        try:
+            coo = read_matrix(args.matrix, dtype=dtype)
+        except FileNotFoundError:
+            raise SystemExit(f"tpu_spmv: matrix file not found: {args.matrix}")
+        except ValueError as e:
+            raise SystemExit(f"tpu_spmv: cannot read {args.matrix}: {e}")
+        print(f"{args.matrix}: shape={coo.shape} nnz={coo.nnz}")
+
+    rng = np.random.default_rng(args.seed)
+    x = jnp.asarray(rng.random(coo.shape[1]), dtype=dtype)
+
+    device = jax.devices()[0]
+    mode = "TPU" if "TPU" in getattr(device, "device_kind", "") else "CPU"
+    formats = [f.strip().lower() for f in args.formats.split(",") if f.strip()]
+    from .formats import FORMATS
+
+    unknown = [f for f in formats if f not in FORMATS]
+    if unknown:
+        raise SystemExit(
+            f"tpu_spmv: unknown format(s) {unknown}; valid: {sorted(FORMATS)}"
+        )
+
+    if args.pallas:
+        from .kernels import bench_pallas_sweep
+
+        results = bench_pallas_sweep(coo, x, formats=formats,
+                                     iters=args.iters,
+                                     check=not args.no_check,
+                                     quiet=args.json)
+    else:
+        results = bench_format_sweep(coo, x, formats=formats, mode=mode,
+                                     iters=args.iters,
+                                     check=not args.no_check,
+                                     quiet=args.json)
+    if args.json:
+        for r in results:
+            print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

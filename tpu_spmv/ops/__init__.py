@@ -1,0 +1,21 @@
+"""Compute ops: SpMV / SpMM per format, BLAS-1 vector ops."""
+
+from .spmv import (
+    spmv, spmv_coo, spmv_csr, spmv_csc, spmv_ell, spmv_dia, spmv_bsr,
+)
+from .spmm import (
+    spmm, spmm_coo, spmm_csr, spmm_csc, spmm_ell, spmm_dia, spmm_bsr,
+)
+from .blas1 import (
+    dot, axpby, axpy, add2scaled, fill, fill_random, scale, shift,
+    norm2, check_vector, allclose,
+)
+
+__all__ = [
+    "spmv", "spmv_coo", "spmv_csr", "spmv_csc", "spmv_ell", "spmv_dia",
+    "spmv_bsr",
+    "spmm", "spmm_coo", "spmm_csr", "spmm_csc", "spmm_ell", "spmm_dia",
+    "spmm_bsr",
+    "dot", "axpby", "axpy", "add2scaled", "fill", "fill_random", "scale",
+    "shift", "norm2", "check_vector", "allclose",
+]

@@ -1,0 +1,81 @@
+"""Synthetic test-matrix generators and small shared helpers.
+
+The reference ships no fixtures (its driver takes an external .mtx path,
+`/root/reference/main.cpp:20-26`); with zero network egress the test suite
+and benchmarks generate their own SuiteSparse-like structures instead:
+
+- :func:`laplacian_2d` — 5-point Poisson stencil, the canonical "structured
+  PDE matrix" (BASELINE.json config 4) and a natural DIA/BSR citizen.
+- :func:`random_sparse` — uniform-random pattern, the ELL worst case.
+- :func:`banded` — fixed bandwidth, the DIA best case.
+- :func:`power_law` — skewed row lengths, exercises load-balance paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["laplacian_2d", "random_sparse", "banded", "power_law"]
+
+
+def laplacian_2d(nx: int, ny: int | None = None, dtype=np.float64) -> sp.csr_matrix:
+    """5-point 2-D Laplacian on an ``nx × ny`` grid (SPD, pentadiagonal)."""
+    ny = nx if ny is None else ny
+    ex = np.ones(nx)
+    ey = np.ones(ny)
+    Tx = sp.diags([-ex[:-1], 2 * ex, -ex[:-1]], [-1, 0, 1])
+    Ty = sp.diags([-ey[:-1], 2 * ey, -ey[:-1]], [-1, 0, 1])
+    A = sp.kronsum(Tx, Ty, format="csr").astype(dtype)
+    A.sort_indices()
+    return A
+
+
+def random_sparse(
+    nrow: int, ncol: int, density: float = 0.01, seed: int = 0, dtype=np.float64
+) -> sp.csr_matrix:
+    """Uniform random sparse matrix with standard-normal values."""
+    rng = np.random.default_rng(seed)
+    A = sp.random(
+        nrow, ncol, density=density, random_state=rng,
+        data_rvs=rng.standard_normal, format="csr", dtype=np.float64,
+    ).astype(dtype)
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def banded(n: int, bandwidth: int = 5, seed: int = 0, dtype=np.float64) -> sp.csr_matrix:
+    """Dense band of half-width ``bandwidth`` around the main diagonal."""
+    rng = np.random.default_rng(seed)
+    offsets = list(range(-bandwidth, bandwidth + 1))
+    diags = [rng.standard_normal(n - abs(k)) for k in offsets]
+    A = sp.diags(diags, offsets, shape=(n, n), format="csr").astype(dtype)
+    A.sort_indices()
+    return A
+
+
+def power_law(
+    nrow: int, ncol: int, avg_nnz_per_row: int = 8, alpha: float = 1.5,
+    seed: int = 0, dtype=np.float64,
+) -> sp.csr_matrix:
+    """Rows with power-law-distributed lengths (load-imbalance stressor).
+
+    The reference's even row split ignores nnz skew
+    (`/root/reference/src/mat_vec.cpp:163-168`); matrices from this generator
+    are what the nnz-balanced partitioner in ``tpu_spmv.dist`` is tested on.
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, size=nrow) + 1.0
+    lengths = np.minimum(
+        np.maximum((raw * avg_nnz_per_row / raw.mean()).astype(np.int64), 1), ncol
+    )
+    rows = np.repeat(np.arange(nrow), lengths)
+    cols = np.concatenate([
+        rng.choice(ncol, size=l, replace=False) for l in lengths
+    ])
+    vals = rng.standard_normal(rows.size)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(nrow, ncol)).astype(dtype)
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
