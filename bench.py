@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Driver benchmark: ONE JSON line on stdout with the headline metric.
+
+Headline: CSR SpMV on a 1M-row 2-D Poisson matrix (the BASELINE.json
+config-1/config-4 family scaled up to HBM-bound size), float32, on the real
+chip.  The library's strategy planner picks the execution format (DIA for
+this pattern — gather-free shifted FMAs); the correctness gate runs against
+the float64 scipy oracle first.
+
+Timing uses the chained-iteration protocol (``time_chained``): K dependent
+SpMV steps inside one dispatched computation, differenced across two K's to
+cancel dispatch/readback overhead — per-call fencing is not trustworthy
+through remote backends.
+
+Reported ``vs_baseline``: achieved fraction of the *measured* HBM roofline
+divided by the 0.70 target from BASELINE.json (>= 1.0 means target met).
+The roofline is measured on the spot with a streaming kernel, not taken
+from a spec sheet.
+"""
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    t_start = time.time()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_spmv as ts
+    from tpu_spmv.bench.harness import time_chained, verify_against_oracle
+    from tpu_spmv.bench.roofline import spmv_bytes, hbm_bandwidth_gbps
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.utils import laplacian_2d
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev.device_kind} platform={dev.platform}")
+
+    # --- measured speed-of-light: streaming read+write over 256 MiB ---
+    v = jnp.asarray(np.random.default_rng(0).random(1 << 26), jnp.float32)
+    sol_dt = time_chained(lambda c: c * 1.0000001 + 1e-9, v, iters=20, warm=2)
+    measured_peak_gbps = 2 * v.size * 4 / sol_dt / 1e9
+    log(f"bench: measured stream roofline = {measured_peak_gbps:.0f} GB/s "
+        f"(spec {hbm_bandwidth_gbps(dev):.0f})")
+    del v
+
+    # --- the benchmark matrix: 1024x1024-grid 5-point Poisson, n=1M ---
+    grid = 1024
+    sp_mat = laplacian_2d(grid)
+    coo = ts.COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32)
+    csr = ts.convert(coo, "csr")
+    n = csr.shape[0]
+    log(f"bench: matrix n={n} nnz={csr.nnz}")
+
+    plan = plan_spmv(csr)
+    A = plan.matrix
+    log(f"bench: planner chose strategy={plan.strategy}")
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+
+    # correctness gate (the check the reference never ran — SURVEY.md Q1)
+    y = jax.jit(plan)(x)
+    rel = verify_against_oracle(A, x, y)
+    log(f"bench: correctness rel_err={rel:.2e} (gate 2e-5 for f32)")
+
+    # chained timing: v' = (A v) / ||A||_inf
+    scale = np.float32(1.0 / abs(sp_mat).sum(axis=1).max())
+    dt = time_chained(lambda c: plan(c) * scale, x, iters=30, warm=3)
+
+    nbytes = spmv_bytes(A, jnp.float32)
+    gflops = 2 * csr.nnz / dt / 1e9
+    bw = nbytes / dt / 1e9
+    frac = bw / measured_peak_gbps
+    log(f"### CSR TPU GFLOPS = {gflops:.5f}")
+    log(f"bench: {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
+        f"{100 * frac:.1f}% of measured roofline | strategy={plan.strategy}")
+    log(f"bench: total wall time {time.time() - t_start:.0f}s")
+
+    print(json.dumps({
+        "metric": "csr_spmv_poisson1m_f32_gflops",
+        "value": round(gflops, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(frac / 0.70, 4),
+        "detail": {
+            "ms_per_spmv": round(dt * 1e3, 4),
+            "model_gbps": round(bw, 2),
+            "measured_peak_gbps": round(measured_peak_gbps, 1),
+            "roofline_fraction": round(frac, 4),
+            "strategy": plan.strategy,
+            "nnz": csr.nnz,
+            "rel_err": rel,
+            "device": dev.device_kind,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception as e:  # never leave the driver without a JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "csr_spmv_poisson1m_f32_gflops",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(e).__name__}: {e}"},
+        }))
+        sys.exit(0)

@@ -20,18 +20,21 @@ are comparable; deliberate fixes over the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo
 from ..ops import spmv, spmm
 from .roofline import Roofline, roofline
 
-__all__ = ["TimingResult", "time_fn", "format_name", "bench_spmv",
-           "bench_format_sweep", "verify_against_oracle"]
+__all__ = ["TimingResult", "time_fn", "time_chained", "format_name",
+           "bench_spmv", "bench_format_sweep", "verify_against_oracle"]
 
 #: Number of timed iterations, matching the reference's NUM_TEST/NTESTS
 #: (`/root/reference/main.cpp:16`, `/root/reference/src/mat_vec.cpp:201`).
@@ -52,12 +55,52 @@ class TimingResult:
     iters: int
 
 
+def time_chained(step_fn: Callable, v0, *, iters: int = 20,
+                 warm: int = 2) -> float:
+    """Seconds per iteration of ``v' = step_fn(v)`` chained inside ONE jit.
+
+    The only timing protocol that is honest on every backend: the K
+    iterations form a single dependent chain inside one dispatched XLA
+    computation (no per-call dispatch overhead, no async-dispatch holes —
+    on some remote backends ``block_until_ready`` does not actually fence),
+    and the measurement is ``(t(warm+iters) - t(warm)) / iters``, which
+    cancels dispatch + readback + fixed overhead exactly.
+
+    ``step_fn`` must be shape-preserving (e.g. a normalized SpMV step on a
+    square matrix).  The loop-carried dependency also stops XLA hoisting
+    the work out of the loop (loop-invariant code motion would otherwise
+    turn a repeat-timing loop into a single call — the failure mode of the
+    reference's naive 50x loop, `/root/reference/main.cpp:55-58`, which its
+    compiler was simply not smart enough to exploit).
+    """
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(v, k):
+        return lax.fori_loop(0, k, lambda i, c: step_fn(c), v)
+
+    def run_fenced(k):
+        out = run(v0, k)
+        # scalar readback is the fence; block_until_ready is NOT trustworthy
+        jnp.sum(jax.tree_util.tree_leaves(out)[0]).item()
+
+    run_fenced(warm)          # compile short loop + warm the fence path
+    run_fenced(warm + iters)  # compile long loop
+    t0 = time.perf_counter()
+    run_fenced(warm)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_fenced(warm + iters)
+    t_big = time.perf_counter() - t0
+    return max((t_big - t_small) / iters, 1e-9)
+
+
 def time_fn(fn: Callable, *args, iters: int = DEFAULT_ITERS,
             warmup: int = 2) -> TimingResult:
     """Time ``fn(*args)``: compile/warm up, then mean + best of ``iters``.
 
-    ``fn`` should be jitted; each call is fenced with ``block_until_ready``
-    so async dispatch cannot hide kernel time.
+    Per-call dispatch timing fenced with ``block_until_ready``.  NOTE: on
+    tunneled/remote backends this fence can be a no-op — prefer
+    :func:`time_chained` (used by :func:`bench_spmv` for square operands).
     """
     for _ in range(max(warmup, 1)):
         out = fn(*args)
@@ -102,11 +145,20 @@ def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
 
     Returns a dict with gflops / seconds / roofline fraction / rel error.
     """
-    fn = jax.jit(spmv_fn or spmv)
+    base_fn = spmv_fn or spmv
+    fn = jax.jit(base_fn)
     rel = verify_against_oracle(A, x, fn(A, x)) if check else float("nan")
-    t = time_fn(fn, A, x, iters=iters)
+    nrow, ncol = A.shape
+    if nrow == ncol:
+        # chained timing (see time_chained): iterate v' = (A v) / ||A||_inf
+        # so the dependent chain stays bounded without a per-step reduction
+        inf_norm = float(np.abs(to_coo(A).to_scipy()).sum(axis=1).max())
+        scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
+        sec = time_chained(lambda v: base_fn(A, v) * scale, x, iters=iters)
+    else:
+        sec = time_fn(fn, A, x, iters=iters).best_s
     nnz = to_coo(A).nnz if not hasattr(A, "nnz") else A.nnz
-    rf: Roofline = roofline(A, t.best_s, nnz=nnz, x_dtype=x.dtype)
+    rf: Roofline = roofline(A, sec, nnz=nnz, x_dtype=x.dtype)
     name = format_name(A)
     if not quiet:
         # the reference's grep-able protocol line (main.cpp:61 etc.)

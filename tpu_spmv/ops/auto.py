@@ -1,0 +1,106 @@
+"""SpMV strategy planner — the framework's analysis/autotune phase.
+
+The reference benchmarks every format and leaves the choice to the reader
+(`/root/reference/main.cpp:54-123`).  A production library does the choosing
+itself (cf. cuSPARSE's analysis step): :func:`plan_spmv` inspects the
+sparsity pattern **on the host, once** and returns the execution format best
+matched to TPU hardware:
+
+- few occupied diagonals → **DIA** (pure shifted FMAs, gather-free — the
+  fastest thing a TPU can do with a sparse matrix);
+- dense blocks → **BSR** (contiguous block DMA + MXU contraction);
+- bounded row width → **ELL** (dense 2-D gather, one reduction);
+- otherwise → **CSR** segment-sum.
+
+The returned plan is a converted matrix + the matching kernel; calling it is
+just ``plan(x)``.  Pattern analysis cost is amortized across every
+subsequent SpMV (the reference re-converts per benchmark run too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from ..formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo
+from .spmv import spmv
+
+__all__ = ["SpmvPlan", "analyze", "plan_spmv"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PatternStats:
+    """Host-side sparsity-pattern statistics."""
+
+    nrow: int
+    ncol: int
+    nnz: int
+    ndiags: int                 # occupied diagonals
+    max_row_nnz: int
+    avg_row_nnz: float
+    block_fill_8: float         # nnz / (8*8 * occupied 8x8 blocks)
+    ell_fill: float             # nnz / (nrow * max_row_nnz)
+
+
+def analyze(mat) -> PatternStats:
+    coo = to_coo(mat)
+    row = np.asarray(coo.row, dtype=np.int64)
+    col = np.asarray(coo.col, dtype=np.int64)
+    nrow, ncol = coo.shape
+    nnz = coo.nnz
+    if nnz == 0:
+        return PatternStats(nrow, ncol, 0, 0, 0, 0.0, 0.0, 0.0)
+    ndiags = len(np.unique(col - row))
+    counts = np.bincount(row, minlength=nrow)
+    max_row = int(counts.max())
+    nbcol = -(-ncol // 8)
+    blocks = len(np.unique((row // 8) * nbcol + (col // 8)))
+    return PatternStats(
+        nrow=nrow, ncol=ncol, nnz=nnz, ndiags=ndiags,
+        max_row_nnz=max_row, avg_row_nnz=nnz / max(nrow, 1),
+        block_fill_8=nnz / (64.0 * max(blocks, 1)),
+        ell_fill=nnz / (float(nrow) * max(max_row, 1)),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmvPlan:
+    """A chosen execution strategy: converted matrix + kernel."""
+
+    matrix: object              # the converted format instance
+    strategy: str               # "dia" | "bsr" | "ell" | "csr"
+    stats: PatternStats
+    _kernel: Callable = spmv
+
+    def __call__(self, x, y=None):
+        return self._kernel(self.matrix, x, y)
+
+
+def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
+    """Analyze ``mat`` and return the best-strategy plan.
+
+    Heuristics (thresholds chosen from measured TPU costs: shifts >> block
+    DMA >> 2-D gather >> scatter/segment paths):
+
+    - DIA when the diagonal count is small in absolute terms OR the DIA
+      storage (ndiags*nrow) does not exceed ~4x nnz;
+    - BSR when 8x8 blocks are at least quarter-full;
+    - ELL when padding waste is bounded (fill >= 25%);
+    - CSR otherwise.
+    """
+    stats = analyze(mat)
+    kernel = spmv
+    if use_pallas is None:
+        use_pallas = False  # flipped by tpu_spmv.kernels when beneficial
+    if stats.nnz == 0:
+        return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
+    dia_storage = stats.ndiags * stats.nrow
+    if stats.ndiags <= 64 or dia_storage <= 4 * stats.nnz:
+        return SpmvPlan(convert(mat, "dia"), "dia", stats, kernel)
+    if stats.block_fill_8 >= 0.25:
+        return SpmvPlan(convert(mat, "bsr", block_size=8), "bsr", stats, kernel)
+    if stats.ell_fill >= 0.25:
+        return SpmvPlan(convert(mat, "ell"), "ell", stats, kernel)
+    return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
