@@ -11,7 +11,7 @@ import scipy.sparse as sp
 import tpu_spmv as ts
 from tpu_spmv import utils
 
-FORMAT_NAMES = ["coo", "csr", "csc", "ell", "dia", "bsr"]
+FORMAT_NAMES = ["coo", "csr", "csc", "ell", "dia", "bsr", "bdia"]
 
 
 def _cases():

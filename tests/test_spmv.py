@@ -14,7 +14,7 @@ import pytest
 import tpu_spmv as ts
 from tpu_spmv import utils
 
-FORMAT_NAMES = ["coo", "csr", "csc", "ell", "dia", "bsr"]
+FORMAT_NAMES = ["coo", "csr", "csc", "ell", "dia", "bsr", "bdia"]
 
 CASES = {
     "random_square": lambda: utils.random_sparse(120, 120, 0.05, seed=21),

@@ -21,7 +21,7 @@ the ARM NUMA SpMV library ``ChuheHong/arm-spmv`` (see SURVEY.md):
 
 from __future__ import annotations
 
-from .formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo, FORMATS
+from .formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo, FORMATS
 from .ops import (
     spmv, spmm, dot, axpby, axpy, fill, fill_random, scale, shift,
     norm2, check_vector, allclose,
@@ -31,7 +31,8 @@ from .io import read_matrix, write_matrix, read_dense, write_dense
 __version__ = "0.1.0"
 
 __all__ = [
-    "COO", "CSR", "CSC", "ELL", "DIA", "BSR", "convert", "to_coo", "FORMATS",
+    "COO", "CSR", "CSC", "ELL", "DIA", "BSR", "BDIA", "convert", "to_coo",
+    "FORMATS",
     "spmv", "spmm", "dot", "axpby", "axpy", "fill", "fill_random", "scale",
     "shift", "norm2", "check_vector", "allclose",
     "read_matrix", "write_matrix", "read_dense", "write_dense",

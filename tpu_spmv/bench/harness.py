@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo
+from ..formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo
 from ..ops import spmv, spmm
 from .roofline import Roofline, roofline
 
@@ -41,7 +41,7 @@ __all__ = ["TimingResult", "time_fn", "time_chained", "format_name",
 DEFAULT_ITERS = 50
 
 _NAMES = {COO: "COO", CSR: "CSR", CSC: "CSC", ELL: "ELL", DIA: "DIA",
-          BSR: "BSR"}
+          BSR: "BSR", BDIA: "BDIA"}
 
 
 def format_name(A) -> str:

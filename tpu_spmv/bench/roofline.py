@@ -52,7 +52,7 @@ def _itemsize(dtype) -> int:
 
 def spmv_bytes(A, x_dtype=None) -> int:
     """Minimum HBM traffic of one ``y = A @ x`` for any tpu_spmv format."""
-    from ..formats import COO, CSR, CSC, ELL, DIA, BSR
+    from ..formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA
 
     val = _itemsize(A.dtype)
     xval = _itemsize(x_dtype or A.dtype)
@@ -71,6 +71,8 @@ def spmv_bytes(A, x_dtype=None) -> int:
         return A.data.size * val + vec
     if isinstance(A, BSR):
         return A.data.size * val + A.nblocks * idx + vec
+    if isinstance(A, BDIA):
+        return A.data.size * val + vec
     raise TypeError(f"unsupported sparse type {type(A).__name__}")
 
 

@@ -16,9 +16,10 @@ from .csc import CSC
 from .ell import ELL
 from .dia import DIA
 from .bsr import BSR
+from .bdia import BDIA
 
 __all__ = [
-    "COO", "CSR", "CSC", "ELL", "DIA", "BSR",
+    "COO", "CSR", "CSC", "ELL", "DIA", "BSR", "BDIA",
     "INDEX_DTYPE", "default_real_dtype", "convert", "to_coo",
     "FORMATS",
 ]
@@ -31,9 +32,10 @@ FORMATS = {
     "ell": ELL,
     "dia": DIA,
     "bsr": BSR,
+    "bdia": BDIA,
 }
 
-AnyFormat = COO | CSR | CSC | ELL | DIA | BSR
+AnyFormat = COO | CSR | CSC | ELL | DIA | BSR | BDIA
 
 
 def to_coo(mat: AnyFormat) -> COO:

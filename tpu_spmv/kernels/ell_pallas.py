@@ -1,0 +1,302 @@
+"""Hand-tiled Pallas ELL SpMV — the framework's native-tier gather kernel.
+
+Why this exists: XLA's lowering of irregular gathers on TPU runs at
+~0.13 Gvalues/s (measured), making XLA-level ELL/CSR SpMV 100-5000x slower
+than the hardware allows.  The TPU *does* have a fast gather — the VPU's
+``tpu.DynamicGatherOp`` — but only **within the 128-lane dimension** of a
+tile, and only Pallas/Mosaic emits it (measured ~6-14 Gvalues/s, 50-100x
+XLA).  This kernel is built around that constraint.
+
+Layout ("packed sliced ELL", host-prepared by :func:`pack_ell`):
+
+- ``x`` lives VMEM-resident as ``x2d[S, 128]`` (``x[c]`` at ``(c//128,
+  c%128)``); a 128-column span of the matrix (a **segment**) maps to one
+  x2d row.
+- A tile is ``[8 sublanes, 128 lanes]``.  Each sublane packs ``k``
+  **consecutive** rows, ``W = 128/k`` lanes per row — consecutive rows of
+  local/banded matrices touch the same few segments, which is what keeps
+  the gather-round count small.
+- Per gather round ``m``, the kernel stacks 8 dynamically-indexed x2d rows
+  (one segment per sublane) and issues ONE lane-gather for the whole tile;
+  a per-lane round id selects which round each lane keeps.  ``M`` = max
+  *distinct segments* per sublane (3-5 for a 5-point Laplacian at k=16).
+- Row reduction is a per-tile ``[8,128] @ [128,k]`` matmul against a
+  static block-diagonal 0/1 mask — MXU work, no reshapes, no shifts, and
+  y comes out ``[8, k]`` block-aligned (rows stay in natural order; no
+  global permutation anywhere).
+- Rows wider than ``W`` spill their overflow entries into a small COO
+  side matrix evaluated on the XLA path and added in (hub rows are rare;
+  the side stays tiny).
+
+Index planes are stored int8 (lane index < 128, round id < M <= 128) and
+widened in-register — 4x less HBM traffic than int32 planes.
+
+Reference analog: the ELL kernels of
+`/root/reference/src/mat_vec.cpp:97-119,541-580` — same format role, but
+the reference's NUMA variant mis-indexes column-major data (SURVEY.md Q4);
+this kernel is oracle-tested like everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.base import sparse_dataclass, static_field
+from ..formats.coo import COO
+from ..formats.csr import CSR
+from ..formats.ell import ELL
+
+__all__ = ["PackedELL", "pack_ell", "spmv_pallas", "supports"]
+
+#: tiles (8 sublanes x 128 lanes) per grid step — amortizes grid overhead.
+TILES_PER_STEP = 64
+LANES = 128
+#: candidate rows-per-sublane (W = 128/k lanes per row).
+K_CHOICES = (16, 8, 4, 2, 1)
+
+
+@sparse_dataclass
+class PackedELL:
+    """Host-packed operand set for the Pallas ELL kernel.
+
+    Leaves:
+      vals: ``[T, 8, 128]`` values, zero in padding lanes.
+      lidx: ``[T, 8, 128] int8`` lane index (col % 128) per entry.
+      rnd:  ``[T, 8, 128] int8`` gather-round id per lane.
+      seg:  ``[T, 8, M] int32`` x2d row (col // 128) per round per sublane.
+      side: COO overflow matrix (rows wider than W), may be empty.
+    Static: logical shape, true nnz, round count M, rows-per-sublane k.
+    """
+
+    vals: jax.Array
+    lidx: jax.Array
+    rnd: jax.Array
+    seg: jax.Array
+    side: COO
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+    rounds: int = static_field()
+    rows_per_sublane: int = static_field()
+
+    @property
+    def ntiles(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def lane_width(self) -> int:
+        return LANES // self.rows_per_sublane
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+
+def supports(mat) -> bool:
+    """Whether the Pallas kernel's envelope covers this matrix: x2d must
+    fit in VMEM next to the streamed blocks."""
+    if not isinstance(mat, (ELL, CSR, COO)):
+        return False
+    return mat.shape[1] <= 3_000_000 and mat.shape[0] >= 1
+
+
+def _estimate_rounds(seg_rows: np.ndarray, counts: np.ndarray, k: int,
+                     sample: int = 4096) -> float:
+    """Mean distinct-segment count over sampled k-row groups."""
+    nrow = len(counts)
+    ngroups = max(nrow // k, 1)
+    idx = np.linspace(0, ngroups - 1, min(sample, ngroups)).astype(np.int64)
+    total = 0
+    for g in idx:
+        segs = seg_rows[g * k: (g + 1) * k]
+        total += len(np.unique(np.concatenate(segs))) if len(segs) else 0
+    return total / max(len(idx), 1)
+
+
+def pack_ell(mat, *, rows_per_sublane: int | None = None,
+             dtype=None) -> PackedELL:
+    """Pack a CSR/ELL/COO matrix for the Pallas kernel (host numpy).
+
+    Picks ``k`` (rows per sublane) to minimize estimated kernel cost
+    ``tiles * rounds`` unless given explicitly.
+    """
+    if isinstance(mat, ELL):
+        csr = CSR.from_coo(mat.to_coo())
+    elif isinstance(mat, COO):
+        csr = CSR.from_coo(mat)
+    elif isinstance(mat, CSR):
+        csr = mat
+    else:
+        raise TypeError(f"pack_ell expects CSR/ELL/COO, got {type(mat).__name__}")
+
+    nrow, ncol = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    data = np.asarray(csr.data)
+    if dtype is not None:
+        data = data.astype(dtype)
+    counts = np.diff(indptr)
+    seg_of = cols >> 7
+
+    # --- choose k ---------------------------------------------------------
+    if rows_per_sublane is None:
+        seg_rows = [seg_of[indptr[r]: indptr[r + 1]] for r in range(nrow)]
+        best, best_cost = 1, float("inf")
+        for k in K_CHOICES:
+            W = LANES // k
+            # overflow fraction if rows are clipped at W
+            clipped = np.minimum(counts, W).sum()
+            if csr.nnz and clipped < 0.98 * csr.nnz:
+                continue            # too much spill for this k
+            rounds = max(_estimate_rounds(seg_rows, counts, k), 1.0)
+            tiles = max(-(-nrow // (8 * k)), 1)
+            cost = tiles * (rounds + 2.0)
+            if cost < best_cost:
+                best, best_cost = k, cost
+        rows_per_sublane = best
+    k = int(rows_per_sublane)
+    W = LANES // k
+
+    # --- split main/overflow ---------------------------------------------
+    offs = np.arange(len(cols)) - indptr[np.asarray(csr.row_ids)]
+    main_mask = offs < W
+    side_rows = np.asarray(csr.row_ids)[~main_mask]
+    side = COO.from_arrays(
+        side_rows, cols[~main_mask], data[~main_mask], csr.shape,
+        dtype=data.dtype,
+    )
+
+    m_rows = np.asarray(csr.row_ids)[main_mask]
+    m_cols = cols[main_mask]
+    m_data = data[main_mask]
+    m_off = offs[main_mask]
+
+    # --- lay out tiles ----------------------------------------------------
+    T = max(-(-nrow // (8 * k)), 1)
+    lane = (m_rows % k) * W + m_off           # lane within sublane
+    sub = (m_rows // k) % 8                   # sublane within tile
+    tile = m_rows // (8 * k)                  # tile id
+
+    vals = np.zeros((T, 8, LANES), dtype=m_data.dtype)
+    lidx = np.zeros((T, 8, LANES), dtype=np.int8)
+    segp = np.full((T, 8, LANES), -1, dtype=np.int64)  # segment per lane
+    vals[tile, sub, lane] = m_data
+    lidx[tile, sub, lane] = (m_cols & 127).astype(np.int8)
+    segp[tile, sub, lane] = m_cols >> 7
+
+    # --- per-sublane distinct segments → rounds ---------------------------
+    flat = segp.reshape(T * 8, LANES)
+    rnd = np.zeros((T * 8, LANES), dtype=np.int8)
+    M = 1
+    seg_tabs = []
+    for srow in range(T * 8):
+        segs = flat[srow]
+        uniq, inv = np.unique(segs[segs >= 0], return_inverse=True)
+        if len(uniq) > LANES:
+            raise ValueError("internal: more than 128 segments per sublane")
+        tab = uniq if len(uniq) else np.zeros(1, dtype=np.int64)
+        seg_tabs.append(tab)
+        rnd[srow, segs >= 0] = inv.astype(np.int8)
+        M = max(M, len(tab))
+    seg = np.zeros((T * 8, M), dtype=np.int32)
+    for srow, tab in enumerate(seg_tabs):
+        seg[srow, : len(tab)] = tab
+
+    return PackedELL(
+        vals=jnp.asarray(vals),
+        lidx=jnp.asarray(lidx),
+        rnd=jnp.asarray(rnd.reshape(T, 8, LANES)),
+        seg=jnp.asarray(seg.reshape(T, 8, M)),
+        side=side,
+        shape=(int(nrow), int(ncol)),
+        nnz=csr.nnz,
+        rounds=int(M),
+        rows_per_sublane=k,
+    )
+
+
+def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref, *,
+            rounds, tiles_per_step):
+    def body(tb, _):
+        vals = vals_ref[tb]
+        lidx = lidx_ref[tb].astype(jnp.int32)
+        rnd = rnd_ref[tb].astype(jnp.int32)
+        g = jnp.zeros_like(vals)
+        for m in range(rounds):
+            tile = jnp.stack([x_ref[seg_ref[tb, i, m], :] for i in range(8)])
+            gm = jnp.take_along_axis(tile, lidx, axis=1)
+            g = jnp.where(rnd == m, gm.astype(vals.dtype), g)
+        prod = vals * g
+        # row reduction: [8,128] @ [128,k] block-diagonal 0/1 mask (MXU)
+        o_ref[tb] = jnp.dot(prod, mask_ref[:],
+                            preferred_element_type=vals.dtype)
+        return 0
+
+    lax.fori_loop(0, tiles_per_step, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "with_side"))
+def spmv_pallas(A: PackedELL, x: jax.Array, *, interpret: bool = False,
+                with_side: bool = True) -> jax.Array:
+    """``A @ x`` via the Pallas lane-gather kernel.
+
+    ``interpret=True`` runs in interpreter mode (CPU testing).
+    """
+    nrow, ncol = A.shape
+    T = A.ntiles
+    k = A.rows_per_sublane
+    W = A.lane_width
+    S = -(-ncol // LANES)
+    xpad = jnp.pad(x, (0, S * LANES - ncol)) if S * LANES != ncol else x
+    x2d = xpad.reshape(S, LANES).astype(A.vals.dtype)
+
+    # static block-diagonal reduction mask: lane l -> row slot l // W
+    lane_ids = np.arange(LANES) // W
+    mask = jnp.asarray(
+        (lane_ids[:, None] == np.arange(k)[None, :]).astype(np.float32),
+        dtype=A.vals.dtype,
+    )
+
+    tps = min(TILES_PER_STEP, T)
+    nsteps = -(-T // tps)
+    Tpad = nsteps * tps
+    if Tpad != T:
+        zpad = lambda a: jnp.pad(a, ((0, Tpad - T),) + ((0, 0),) * (a.ndim - 1))
+        vals, lidx, rnd, seg = map(zpad, (A.vals, A.lidx, A.rnd, A.seg))
+    else:
+        vals, lidx, rnd, seg = A.vals, A.lidx, A.rnd, A.seg
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, rounds=A.rounds, tiles_per_step=tps),
+        out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), A.vals.dtype),
+        grid=(nsteps,),
+        in_specs=[
+            # per-round segment ids: small per-step block in SMEM (scalar
+            # reads steer the dynamic x2d row slices)
+            pl.BlockSpec((tps, 8, A.rounds), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tps, 8, LANES), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, 8, LANES), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, 8, LANES), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2d, fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # reduction mask
+        ],
+        out_specs=pl.BlockSpec((tps, 8, k), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seg, vals, lidx, rnd, x2d, mask)
+    y = out.reshape(-1)[:nrow]
+    if with_side and A.side.nnz:
+        from ..ops.spmv import spmv_coo
+
+        y = spmv_coo(A.side, x.astype(A.vals.dtype), y=y)
+    return y

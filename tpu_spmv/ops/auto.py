@@ -37,7 +37,8 @@ class PatternStats:
     nrow: int
     ncol: int
     nnz: int
-    ndiags: int                 # occupied diagonals
+    ndiags: int                 # occupied scalar diagonals
+    nblockdiags_8: int          # occupied 8x8 block diagonals
     max_row_nnz: int
     avg_row_nnz: float
     block_fill_8: float         # nnz / (8*8 * occupied 8x8 blocks)
@@ -51,14 +52,17 @@ def analyze(mat) -> PatternStats:
     nrow, ncol = coo.shape
     nnz = coo.nnz
     if nnz == 0:
-        return PatternStats(nrow, ncol, 0, 0, 0, 0.0, 0.0, 0.0)
+        return PatternStats(nrow, ncol, 0, 0, 0, 0, 0.0, 0.0, 0.0)
     ndiags = len(np.unique(col - row))
     counts = np.bincount(row, minlength=nrow)
     max_row = int(counts.max())
     nbcol = -(-ncol // 8)
-    blocks = len(np.unique((row // 8) * nbcol + (col // 8)))
+    brow, bcol = row // 8, col // 8
+    blocks = len(np.unique(brow * nbcol + bcol))
+    nblockdiags = len(np.unique(bcol - brow))
     return PatternStats(
         nrow=nrow, ncol=ncol, nnz=nnz, ndiags=ndiags,
+        nblockdiags_8=nblockdiags,
         max_row_nnz=max_row, avg_row_nnz=nnz / max(nrow, 1),
         block_fill_8=nnz / (64.0 * max(blocks, 1)),
         ell_fill=nnz / (float(nrow) * max(max_row, 1)),
@@ -97,8 +101,14 @@ def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
     if stats.nnz == 0:
         return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
     dia_storage = stats.ndiags * stats.nrow
-    if stats.ndiags <= 64 or dia_storage <= 4 * stats.nnz:
+    bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
+    if (stats.ndiags <= 64 or dia_storage <= 4 * stats.nnz) and \
+            dia_storage <= bdia_storage:
         return SpmvPlan(convert(mat, "dia"), "dia", stats, kernel)
+    if bdia_storage <= 4 * stats.nnz:
+        # block-banded (structured PDE): gather-free block-diagonal einsum
+        return SpmvPlan(convert(mat, "bdia", block_size=8), "bdia", stats,
+                        kernel)
     if stats.block_fill_8 >= 0.25:
         return SpmvPlan(convert(mat, "bsr", block_size=8), "bsr", stats, kernel)
     if stats.ell_fill >= 0.25:

@@ -14,10 +14,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats import COO, CSR, CSC, ELL, DIA, BSR
+from ..formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA
 
 __all__ = ["spmm", "spmm_coo", "spmm_csr", "spmm_csc", "spmm_ell",
-           "spmm_dia", "spmm_bsr"]
+           "spmm_dia", "spmm_bsr", "spmm_bdia"]
 
 
 def _check_rhs(A, X):
@@ -86,6 +86,32 @@ def spmm_bsr(A: BSR, X: jax.Array) -> jax.Array:
     return Ybr.reshape(A.nbrow * bs, nrhs)[:nrow]
 
 
+def spmm_bdia(A: BDIA, X: jax.Array) -> jax.Array:
+    """BDIA SpMM — per-block-diagonal ``[nbrow,bs,bs] @ [nbrow,bs,nrhs]``
+    batched matmuls over contiguous operands; the highest arithmetic
+    intensity of any kernel here (MXU-bound, not bandwidth-bound)."""
+    _check_rhs(A, X)
+    bs = A.block_size
+    nrow, ncol = A.shape
+    nrhs = X.shape[1]
+    nbrow, nbcol = A.nbrow, A.nbcol
+    ncol_pad = nbcol * bs
+    Xp = jnp.pad(X, ((0, ncol_pad - ncol), (0, 0))) if ncol_pad != ncol else X
+    Xb = Xp.reshape(nbcol, bs, nrhs)
+    min_off, max_off = min(A.offsets), max(A.offsets)
+    lo = max(0, -min_off)
+    hi = max(0, (nbrow - 1) + max_off - (nbcol - 1))
+    Xbp = jnp.pad(Xb, ((lo, hi), (0, 0), (0, 0)))
+    out_dtype = jnp.result_type(A.data.dtype, X.dtype)
+    acc = jnp.zeros((nbrow, bs, nrhs), dtype=out_dtype)
+    for d, off in enumerate(A.offsets):
+        Xs = jax.lax.dynamic_slice(Xbp, (off + lo, 0, 0), (nbrow, bs, nrhs))
+        acc = acc + jnp.einsum(
+            "nij,njk->nik", A.data[d], Xs, preferred_element_type=out_dtype
+        )
+    return acc.reshape(nbrow * bs, nrhs)[:nrow]
+
+
 _DISPATCH = {
     COO: spmm_coo,
     CSR: spmm_csr,
@@ -93,6 +119,7 @@ _DISPATCH = {
     ELL: spmm_ell,
     DIA: spmm_dia,
     BSR: spmm_bsr,
+    BDIA: spmm_bdia,
 }
 
 

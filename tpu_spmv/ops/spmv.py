@@ -28,10 +28,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..formats import COO, CSR, CSC, ELL, DIA, BSR
+from ..formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA
 
 __all__ = ["spmv", "spmv_coo", "spmv_csr", "spmv_csc", "spmv_ell",
-           "spmv_dia", "spmv_bsr"]
+           "spmv_dia", "spmv_bsr", "spmv_bdia"]
 
 
 def _finish(ax: jax.Array, y: jax.Array | None) -> jax.Array:
@@ -122,6 +122,36 @@ def spmv_bsr(A: BSR, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     return _finish(ax, y)
 
 
+def spmv_bdia(A: BDIA, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+    """BDIA SpMV — per-block-diagonal dense contractions, gather-free.
+
+    The block analog of :func:`spmv_dia`: each block-diagonal contributes
+    ``einsum('nij,nj->ni', blocks_d, x_blocks shifted by d)`` over purely
+    contiguous operands.  This is the intended kernel for structured-PDE
+    block matrices (BASELINE config 4): MXU-shaped work with DIA's memory
+    behavior.
+    """
+    bs = A.block_size
+    nrow, ncol = A.shape
+    nbrow, nbcol = A.nbrow, A.nbcol
+    ncol_pad = nbcol * bs
+    xp = jnp.pad(x, (0, ncol_pad - ncol)) if ncol_pad != ncol else x
+    xb = xp.reshape(nbcol, bs)
+    min_off, max_off = min(A.offsets), max(A.offsets)
+    lo = max(0, -min_off)
+    hi = max(0, (nbrow - 1) + max_off - (nbcol - 1))
+    xbp = jnp.pad(xb, ((lo, hi), (0, 0)))
+    out_dtype = jnp.result_type(A.data.dtype, x.dtype)
+    acc = jnp.zeros((nbrow, bs), dtype=out_dtype)
+    for d, off in enumerate(A.offsets):
+        xs = jax.lax.dynamic_slice(xbp, (off + lo, 0), (nbrow, bs))
+        acc = acc + jnp.einsum(
+            "nij,nj->ni", A.data[d], xs, preferred_element_type=out_dtype
+        )
+    ax = acc.reshape(-1)[:nrow]
+    return _finish(ax, y)
+
+
 _DISPATCH = {
     COO: spmv_coo,
     CSR: spmv_csr,
@@ -129,6 +159,7 @@ _DISPATCH = {
     ELL: spmv_ell,
     DIA: spmv_dia,
     BSR: spmv_bsr,
+    BDIA: spmv_bdia,
 }
 
 

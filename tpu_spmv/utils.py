@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["laplacian_2d", "random_sparse", "banded", "power_law"]
+__all__ = ["laplacian_2d", "random_sparse", "banded", "power_law",
+           "block_laplacian"]
 
 
 def laplacian_2d(nx: int, ny: int | None = None, dtype=np.float64) -> sp.csr_matrix:
@@ -51,6 +52,23 @@ def banded(n: int, bandwidth: int = 5, seed: int = 0, dtype=np.float64) -> sp.cs
     offsets = list(range(-bandwidth, bandwidth + 1))
     diags = [rng.standard_normal(n - abs(k)) for k in offsets]
     A = sp.diags(diags, offsets, shape=(n, n), format="csr").astype(dtype)
+    A.sort_indices()
+    return A
+
+
+def block_laplacian(nx: int, bs: int = 8, seed: int = 0,
+                    dtype=np.float64) -> sp.csr_matrix:
+    """Structured-PDE block matrix: 2-D Laplacian pattern with dense
+    ``bs x bs`` blocks (BASELINE.json config 4's matrix family) — e.g. a
+    vector-valued PDE with ``bs`` coupled components per grid point."""
+    rng = np.random.default_rng(seed)
+    pattern = laplacian_2d(nx)
+    pattern_coo = pattern.tocoo()
+    blocks = rng.standard_normal((pattern_coo.nnz, bs, bs))
+    A = sp.bsr_matrix(
+        (blocks, pattern_coo.col, pattern_coo.tocsr().indptr),
+        shape=(pattern.shape[0] * bs, pattern.shape[1] * bs),
+    ).tocsr().astype(dtype)
     A.sort_indices()
     return A
 
