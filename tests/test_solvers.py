@@ -1,0 +1,112 @@
+"""Solver tests: CG (plain, preconditioned, matvec-closure, distributed),
+power iteration — all against scipy/numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_spmv as ts
+from tpu_spmv import dist, utils
+from tpu_spmv.solvers import cg, dist_cg, jacobi_preconditioner, power_iteration
+
+
+@pytest.fixture(scope="module")
+def spd():
+    # SPD: 2-D Laplacian
+    return utils.laplacian_2d(12, 12)
+
+
+def test_cg_solves_laplacian(spd, rng):
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    res = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(spd.toarray(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_cg_jacobi_preconditioner(spd, rng):
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    plain = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    pre = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000,
+             precond=jacobi_preconditioner(A))
+    assert bool(pre.converged)
+    assert int(pre.iterations) <= int(plain.iterations) + 5
+    np.testing.assert_allclose(np.asarray(pre.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cg_with_matvec_closure(spd, rng):
+    A = ts.convert(ts.COO.from_scipy(spd), "dia")
+    b = rng.standard_normal(spd.shape[0])
+    res = cg(lambda v: ts.spmv(A, v), jnp.asarray(b), tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        spd @ np.asarray(res.x), b, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_cg_maxiter_cap(spd, rng):
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    res = cg(A, jnp.asarray(b), tol=1e-14, maxiter=3)
+    assert int(res.iterations) == 3
+    assert not bool(res.converged)
+
+
+def test_power_iteration(spd):
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    lam, v = power_iteration(A, iters=300)
+    from scipy.sparse.linalg import eigsh
+
+    lam_ref = eigsh(spd, k=1, which="LM", return_eigenvectors=False)[0]
+    np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["allgather", "halo"])
+def test_dist_cg(spd, rng, kind):
+    mesh = dist.make_mesh(8)
+    csr = ts.convert(ts.COO.from_scipy(spd), "csr")
+    if kind == "halo":
+        A = dist.HaloCSR.build(csr, 8, square=True)
+    else:
+        A = dist.ShardedCSR.build(csr, 8, square=True)
+    b = rng.standard_normal(spd.shape[0])
+    bs = dist.ShardedVector.from_global(b, A.row_plan)
+    A, bs = dist.place(A, mesh), dist.place(bs, mesh)
+    res = dist_cg(mesh, A, bs, tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    x = res.x.to_global()
+    np.testing.assert_allclose(spd @ x, b, rtol=1e-6, atol=1e-7)
+
+
+def test_dist_cg_partition_mismatch(spd, rng):
+    mesh = dist.make_mesh(8)
+    csr = ts.convert(ts.COO.from_scipy(spd), "csr")
+    A = dist.ShardedCSR.build(csr, 8)        # square=False: col plan differs
+    b = dist.ShardedVector.from_global(
+        rng.standard_normal(spd.shape[0]), A.row_plan)
+    with pytest.raises(ValueError, match="row partition == column"):
+        dist_cg(mesh, dist.place(A, mesh), dist.place(b, mesh))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from tpu_spmv.io import checkpoint
+
+    mat = utils.laplacian_2d(7, 9)
+    for fmt in ["csr", "dia", "bsr", "bdia", "ell", "coo", "csc"]:
+        M = ts.convert(ts.COO.from_scipy(mat), fmt)
+        p = tmp_path / f"m_{fmt}.npz"
+        checkpoint.save_matrix(p, M)
+        M2 = checkpoint.load_matrix(p)
+        assert type(M2) is type(M)
+        np.testing.assert_allclose(
+            np.asarray(M2.todense()), mat.toarray(), err_msg=fmt
+        )
+    v = jnp.asarray(rng.standard_normal(32))
+    checkpoint.save_vector(tmp_path / "v.npz", v)
+    np.testing.assert_array_equal(
+        np.asarray(checkpoint.load_vector(tmp_path / "v.npz")), np.asarray(v)
+    )

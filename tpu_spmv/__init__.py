@@ -24,9 +24,10 @@ from __future__ import annotations
 from .formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo, FORMATS
 from .ops import (
     spmv, spmm, dot, axpby, axpy, fill, fill_random, scale, shift,
-    norm2, check_vector, allclose,
+    norm2, check_vector, allclose, plan_spmv,
 )
 from .io import read_matrix, write_matrix, read_dense, write_dense
+from . import solvers
 
 __version__ = "0.1.0"
 
@@ -34,7 +35,8 @@ __all__ = [
     "COO", "CSR", "CSC", "ELL", "DIA", "BSR", "BDIA", "convert", "to_coo",
     "FORMATS",
     "spmv", "spmm", "dot", "axpby", "axpy", "fill", "fill_random", "scale",
-    "shift", "norm2", "check_vector", "allclose",
+    "shift", "norm2", "check_vector", "allclose", "plan_spmv",
     "read_matrix", "write_matrix", "read_dense", "write_dense",
+    "solvers",
     "__version__",
 ]

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the correctness gate (reference behavior, Q1)")
     p.add_argument("--pallas", action="store_true",
                    help="use hand-tiled Pallas kernels where available")
+    p.add_argument("--auto", action="store_true",
+                   help="let the strategy planner pick the execution format")
+    p.add_argument("--spmm", type=int, metavar="NRHS", default=0,
+                   help="also benchmark SpMM with NRHS right-hand sides")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per result instead of text")
@@ -114,7 +118,17 @@ def main(argv=None) -> int:
             f"tpu_spmv: unknown format(s) {unknown}; valid: {sorted(FORMATS)}"
         )
 
-    if args.pallas:
+    if args.auto:
+        from .bench import bench_spmv
+        from .ops.auto import plan_spmv
+
+        plan = plan_spmv(coo)
+        if not args.json:
+            print(f"planner: strategy={plan.strategy}")
+        results = [bench_spmv(plan.matrix, x, mode=f"{mode}-AUTO",
+                              iters=args.iters, check=not args.no_check,
+                              quiet=args.json)]
+    elif args.pallas:
         from .kernels import bench_pallas_sweep
 
         results = bench_pallas_sweep(coo, x, formats=formats,
@@ -126,6 +140,29 @@ def main(argv=None) -> int:
                                      iters=args.iters,
                                      check=not args.no_check,
                                      quiet=args.json)
+
+    if args.spmm > 0:
+        import numpy as _np
+
+        from .bench.harness import format_name, time_fn
+        from .formats import convert as _convert
+        from .ops import spmm as _spmm
+
+        X = jnp.asarray(rng.random((coo.shape[1], args.spmm)), dtype=dtype)
+        for name in formats:
+            A = _convert(coo, name)
+            fn = jax.jit(_spmm)
+            Y = fn(A, X)
+            t = time_fn(fn, A, X, iters=max(args.iters // 5, 3))
+            gflops = 2 * coo.nnz * args.spmm / t.best_s / 1e9
+            line = {"format": format_name(A), "mode": f"SPMM{args.spmm}",
+                    "gflops": gflops, "seconds": t.best_s}
+            if args.json:
+                results.append(line)
+            else:
+                print(f"### {format_name(A)} SPMM{args.spmm} GFLOPS = "
+                      f"{gflops:.5f}")
+
     if args.json:
         for r in results:
             print(json.dumps(r))

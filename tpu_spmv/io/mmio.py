@@ -121,11 +121,33 @@ def _expand_symmetry(row, col, val, symmetry: str):
     return mrow, mcol, mval
 
 
-def read_mtx_arrays(path_or_file):
+def read_mtx_arrays(path_or_file, *, use_native: bool | None = None):
     """Read a .mtx file into host numpy ``(row, col, val, (nrow, ncol))``.
 
     0-based indices, symmetry expanded, pattern entries valued 1.0.
+    Plain (non-gzip) file paths use the C++ fast parser when it is built
+    (``make -C native``); semantics are identical either way.
     """
+    is_path = not (hasattr(path_or_file, "read") or hasattr(path_or_file, "write"))
+    if use_native is not False and is_path:
+        path = os.fspath(path_or_file)
+        if not path.endswith(".gz"):
+            from . import native
+
+            if native.available():
+                row, col, val, shape, field, symmetry = (
+                    native.read_mtx_arrays_native(path)
+                )
+                if symmetry not in _SYMMETRIES:
+                    raise ValueError(
+                        f"unsupported MatrixMarket symmetry {symmetry!r}"
+                    )
+                row, col, val = _expand_symmetry(row, col, val, symmetry)
+                return row, col, val, shape
+            if use_native:
+                raise RuntimeError(
+                    "native mmio requested but not built (make -C native)"
+                )
     f, should_close = _open(path_or_file, "rt")
     try:
         hdr = read_header(f)

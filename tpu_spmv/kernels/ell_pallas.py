@@ -106,17 +106,15 @@ def supports(mat) -> bool:
     return mat.shape[1] <= 3_000_000 and mat.shape[0] >= 1
 
 
-def _estimate_rounds(seg_rows: np.ndarray, counts: np.ndarray, k: int,
-                     sample: int = 4096) -> float:
-    """Mean distinct-segment count over sampled k-row groups."""
-    nrow = len(counts)
-    ngroups = max(nrow // k, 1)
-    idx = np.linspace(0, ngroups - 1, min(sample, ngroups)).astype(np.int64)
-    total = 0
-    for g in idx:
-        segs = seg_rows[g * k: (g + 1) * k]
-        total += len(np.unique(np.concatenate(segs))) if len(segs) else 0
-    return total / max(len(idx), 1)
+def _estimate_rounds(row_ids: np.ndarray, seg_of: np.ndarray, nrow: int,
+                     k: int) -> float:
+    """Mean distinct-segment count per k-row sublane group (vectorized)."""
+    if len(row_ids) == 0:
+        return 1.0
+    groups = row_ids // k
+    ngroups = nrow // k + 1
+    pairs = np.unique(groups * (seg_of.max() + 1) + seg_of)
+    return len(pairs) / max(ngroups, 1)
 
 
 def pack_ell(mat, *, rows_per_sublane: int | None = None,
@@ -126,19 +124,36 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
     Picks ``k`` (rows per sublane) to minimize estimated kernel cost
     ``tiles * rounds`` unless given explicitly.
     """
-    if isinstance(mat, ELL):
-        csr = CSR.from_coo(mat.to_coo())
-    elif isinstance(mat, COO):
-        csr = CSR.from_coo(mat)
-    elif isinstance(mat, CSR):
-        csr = mat
+    if hasattr(mat, "tocsr") and not isinstance(mat, (ELL, COO, CSR)):
+        # scipy input: stay on the host (device readbacks can be slow on
+        # tunneled backends)
+        sp_csr = mat.tocsr()
+        sp_csr.sort_indices()
+        nrow, ncol = sp_csr.shape
+        indptr = np.asarray(sp_csr.indptr, dtype=np.int64)
+        cols = np.asarray(sp_csr.indices, dtype=np.int64)
+        data = np.asarray(sp_csr.data)
+        row_ids_np = np.repeat(np.arange(nrow, dtype=np.int64),
+                               np.diff(indptr))
+        csr = None
+        csr_nnz = int(len(data))
     else:
-        raise TypeError(f"pack_ell expects CSR/ELL/COO, got {type(mat).__name__}")
-
-    nrow, ncol = csr.shape
-    indptr = np.asarray(csr.indptr, dtype=np.int64)
-    cols = np.asarray(csr.indices, dtype=np.int64)
-    data = np.asarray(csr.data)
+        if isinstance(mat, ELL):
+            csr = CSR.from_coo(mat.to_coo())
+        elif isinstance(mat, COO):
+            csr = CSR.from_coo(mat)
+        elif isinstance(mat, CSR):
+            csr = mat
+        else:
+            raise TypeError(
+                f"pack_ell expects CSR/ELL/COO/scipy, got {type(mat).__name__}"
+            )
+        nrow, ncol = csr.shape
+        indptr = np.asarray(csr.indptr, dtype=np.int64)
+        cols = np.asarray(csr.indices, dtype=np.int64)
+        data = np.asarray(csr.data)
+        row_ids_np = np.asarray(csr.row_ids, dtype=np.int64)
+        csr_nnz = csr.nnz
     if dtype is not None:
         data = data.astype(dtype)
     counts = np.diff(indptr)
@@ -146,15 +161,14 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
 
     # --- choose k ---------------------------------------------------------
     if rows_per_sublane is None:
-        seg_rows = [seg_of[indptr[r]: indptr[r + 1]] for r in range(nrow)]
         best, best_cost = 1, float("inf")
         for k in K_CHOICES:
             W = LANES // k
             # overflow fraction if rows are clipped at W
             clipped = np.minimum(counts, W).sum()
-            if csr.nnz and clipped < 0.98 * csr.nnz:
+            if csr_nnz and clipped < 0.98 * csr_nnz:
                 continue            # too much spill for this k
-            rounds = max(_estimate_rounds(seg_rows, counts, k), 1.0)
+            rounds = max(_estimate_rounds(row_ids_np, seg_of, nrow, k), 1.0)
             tiles = max(-(-nrow // (8 * k)), 1)
             cost = tiles * (rounds + 2.0)
             if cost < best_cost:
@@ -164,15 +178,15 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
     W = LANES // k
 
     # --- split main/overflow ---------------------------------------------
-    offs = np.arange(len(cols)) - indptr[np.asarray(csr.row_ids)]
+    offs = np.arange(len(cols)) - indptr[row_ids_np]
     main_mask = offs < W
-    side_rows = np.asarray(csr.row_ids)[~main_mask]
+    side_rows = row_ids_np[~main_mask]
     side = COO.from_arrays(
-        side_rows, cols[~main_mask], data[~main_mask], csr.shape,
+        side_rows, cols[~main_mask], data[~main_mask], (nrow, ncol),
         dtype=data.dtype,
     )
 
-    m_rows = np.asarray(csr.row_ids)[main_mask]
+    m_rows = row_ids_np[main_mask]
     m_cols = cols[main_mask]
     m_data = data[main_mask]
     m_off = offs[main_mask]
@@ -190,23 +204,26 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
     lidx[tile, sub, lane] = (m_cols & 127).astype(np.int8)
     segp[tile, sub, lane] = m_cols >> 7
 
-    # --- per-sublane distinct segments → rounds ---------------------------
+    # --- per-sublane distinct segments → rounds (vectorized) --------------
+    # sort each sublane's segment plane; padding (-1) sorts first; round id
+    # of a lane = rank of its segment among the sublane's distinct segments
     flat = segp.reshape(T * 8, LANES)
-    rnd = np.zeros((T * 8, LANES), dtype=np.int8)
-    M = 1
-    seg_tabs = []
-    for srow in range(T * 8):
-        segs = flat[srow]
-        uniq, inv = np.unique(segs[segs >= 0], return_inverse=True)
-        if len(uniq) > LANES:
-            raise ValueError("internal: more than 128 segments per sublane")
-        tab = uniq if len(uniq) else np.zeros(1, dtype=np.int64)
-        seg_tabs.append(tab)
-        rnd[srow, segs >= 0] = inv.astype(np.int8)
-        M = max(M, len(tab))
+    order = np.argsort(flat, axis=1, kind="stable")
+    sorted_ = np.take_along_axis(flat, order, axis=1)
+    valid_sorted = sorted_ >= 0
+    is_new = valid_sorted & (sorted_ != np.roll(sorted_, 1, axis=1))
+    is_new[:, 0] = valid_sorted[:, 0]
+    rid_sorted = np.cumsum(is_new, axis=1) - 1          # -1 on padding run
+    M = int(max(rid_sorted.max() + 1, 1))
+    rnd_dtype = np.int8 if M <= 127 else np.int16
+    rnd = np.zeros((T * 8, LANES), dtype=rnd_dtype)
+    np.put_along_axis(
+        rnd, order, np.maximum(rid_sorted, 0).astype(rnd_dtype), axis=1
+    )
+    rnd[flat < 0] = 0
     seg = np.zeros((T * 8, M), dtype=np.int32)
-    for srow, tab in enumerate(seg_tabs):
-        seg[srow, : len(tab)] = tab
+    srow, lpos = np.nonzero(is_new)
+    seg[srow, rid_sorted[srow, lpos]] = sorted_[srow, lpos].astype(np.int32)
 
     return PackedELL(
         vals=jnp.asarray(vals),
@@ -215,7 +232,7 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
         seg=jnp.asarray(seg.reshape(T, 8, M)),
         side=side,
         shape=(int(nrow), int(ncol)),
-        nnz=csr.nnz,
+        nnz=csr_nnz,
         rounds=int(M),
         rows_per_sublane=k,
     )
@@ -233,9 +250,14 @@ def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref, *,
             gm = jnp.take_along_axis(tile, lidx, axis=1)
             g = jnp.where(rnd == m, gm.astype(vals.dtype), g)
         prod = vals * g
-        # row reduction: [8,128] @ [128,k] block-diagonal 0/1 mask (MXU)
-        o_ref[tb] = jnp.dot(prod, mask_ref[:],
-                            preferred_element_type=vals.dtype)
+        # row reduction: [8,128] @ [128,k] block-diagonal 0/1 mask.
+        # HIGHEST precision: the MXU's default bf16 passes would truncate
+        # f32 products to ~3 digits (observed rel err 4e-3 on chip).
+        o_ref[tb] = lax.dot_general(
+            prod, mask_ref[:], (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=vals.dtype,
+        )
         return 0
 
     lax.fori_loop(0, tiles_per_step, body, 0)

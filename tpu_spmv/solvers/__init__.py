@@ -1,0 +1,8 @@
+"""Iterative solvers: the consumers of the BLAS-1 + SpMV surface that the
+reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
+
+from .cg import CGResult, cg, jacobi_preconditioner, power_iteration
+from .dist_cg import DistCGResult, dist_cg
+
+__all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
+           "DistCGResult", "dist_cg"]

@@ -1,0 +1,122 @@
+"""Iterative solvers on top of the SpMV + BLAS-1 surface.
+
+The reference ships BLAS-1 "solver support" it never uses — ``vec_dot`` /
+``vec_axpby`` (`/root/reference/src/vec_vec.cpp`) and a ``diagonal[]``
+extraction declared "for SymGS" (`/root/reference/include/matrix.h:36`).
+This module closes that loop: conjugate gradients (optionally
+Jacobi-preconditioned, using that diagonal), plus power iteration — all
+expressed with ``lax.while_loop``/``lax.scan`` so the entire solve is ONE
+compiled XLA program (no per-iteration dispatch), and all generic over any
+format the :func:`~tpu_spmv.ops.spmv` dispatcher accepts.
+
+Distributed: :func:`cg` also accepts a matvec closure, so the sharded SpMV
+of ``tpu_spmv.dist`` (all-gather or halo) drops in unchanged — dots become
+``psum`` reductions automatically under ``jit`` over a mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.spmv import spmv
+
+__all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration"]
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array       # int32
+    residual_norm: jax.Array    # float
+    converged: jax.Array        # bool
+
+
+def _as_matvec(A) -> Callable:
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    return lambda v: spmv(A, v)
+
+
+def jacobi_preconditioner(A) -> Callable:
+    """M⁻¹ = 1/diag(A) — uses the reference's "for SymGS" diagonal
+    (`/root/reference/include/matrix.h:36`), row-aligned (Q7 fixed)."""
+    from ..formats import CSR, convert
+
+    csr = A if isinstance(A, CSR) else convert(A, "csr")
+    d = csr.diagonal()
+    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+    return lambda r: inv * r
+
+
+def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
+       precond: Callable | None = None) -> CGResult:
+    """Conjugate gradients for SPD ``A`` (format instance or matvec fn).
+
+    The loop body is a ``lax.while_loop`` — one compiled program per
+    (matrix structure, maxiter) rather than per iteration.
+    """
+    matvec = _as_matvec(A)
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    M = precond if precond is not None else (lambda r: r)
+
+    @jax.jit
+    def run(b, x0):
+        r0 = b - matvec(x0)
+        z0 = M(r0)
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0)
+        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        limit = tol * jnp.maximum(bnorm, 1e-300)
+
+        def cond(state):
+            x, r, p, rz, it = state
+            return (jnp.sqrt(jnp.vdot(r, r)) > limit) & (it < maxiter)
+
+        def body(state):
+            x, r, p, rz, it = state
+            Ap = matvec(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (x, r, p, rz_new, it + 1)
+
+        x, r, p, rz, it = lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        return x, it, rnorm, rnorm <= limit
+
+    x, it, rnorm, ok = run(b, x0)
+    return CGResult(x=x, iterations=it, residual_norm=rnorm, converged=ok)
+
+
+def power_iteration(A, *, key=None, iters: int = 50) -> tuple[jax.Array, jax.Array]:
+    """Dominant eigenvalue/vector via ``lax.scan`` (also the shape of the
+    bench harness's chained-timing loop)."""
+    matvec = _as_matvec(A)
+    n = A.shape[0] if hasattr(A, "shape") else None
+    if key is None:
+        key = jax.random.key(0)
+    v0 = jax.random.uniform(key, (n,))
+
+    @jax.jit
+    def run(v0):
+        def step(v, _):
+            w = matvec(v)
+            nrm = jnp.sqrt(jnp.vdot(w, w))
+            v_new = w / jnp.maximum(nrm, 1e-300)
+            return v_new, nrm
+
+        v, norms = lax.scan(step, v0 / jnp.sqrt(jnp.vdot(v0, v0)),
+                            length=iters)
+        lam = jnp.vdot(v, matvec(v))
+        return lam, v
+
+    return run(v0)
