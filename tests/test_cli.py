@@ -1,0 +1,76 @@
+"""CLI driver tests (CPU): argument handling, sweeps, JSON protocol."""
+
+import json
+
+import numpy as np
+import pytest
+
+import tpu_spmv as ts
+from tpu_spmv.cli import main
+from tpu_spmv import utils
+
+
+@pytest.fixture
+def mtx_file(tmp_path):
+    path = tmp_path / "fixture.mtx"
+    ts.write_matrix(path, ts.COO.from_scipy(utils.laplacian_2d(6, 5)))
+    return str(path)
+
+
+def test_cli_file_sweep(mtx_file, capsys):
+    assert main([mtx_file, "--formats", "csr,dia", "--iters", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "### CSR CPU GFLOPS =" in out
+    assert "### DIA CPU GFLOPS =" in out
+
+
+def test_cli_synthetic_json(capsys):
+    assert main(["--synthetic", "laplacian:6", "--formats", "csr",
+                 "--iters", "2", "--json"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["format"] == "CSR"
+    assert rec["gflops"] > 0
+    assert rec["rel_err"] < 1e-5           # default dtype is float32
+
+
+def test_cli_auto(capsys):
+    assert main(["--synthetic", "banded:200,3", "--auto", "--iters", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "planner: strategy=dia" in out
+    assert "GFLOPS =" in out
+
+
+def test_cli_spmm(capsys):
+    assert main(["--synthetic", "laplacian:5", "--formats", "csr",
+                 "--iters", "2", "--spmm", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "### CSR SPMM4 GFLOPS =" in out
+
+
+def test_cli_unknown_format():
+    with pytest.raises(SystemExit, match="unknown format"):
+        main(["--synthetic", "laplacian:4", "--formats", "bogus"])
+
+
+def test_cli_missing_file():
+    with pytest.raises(SystemExit, match="not found"):
+        main(["/does/not/exist.mtx"])
+
+
+def test_cli_bad_synthetic():
+    with pytest.raises(SystemExit, match="unknown synthetic"):
+        main(["--synthetic", "bogus:1"])
+
+
+def test_cli_requires_source():
+    with pytest.raises(SystemExit):
+        main([])
+
+
+def test_cli_float64(mtx_file, capsys):
+    assert main([mtx_file, "--formats", "csr", "--iters", "2",
+                 "--dtype", "float64"]) == 0
+    out = capsys.readouterr().out
+    assert "GFLOPS =" in out

@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="let the strategy planner pick the execution format")
     p.add_argument("--spmm", type=int, metavar="NRHS", default=0,
                    help="also benchmark SpMM with NRHS right-hand sides")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the sweep into DIR "
+                        "(view with TensorBoard/Perfetto)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per result instead of text")
@@ -118,6 +121,21 @@ def main(argv=None) -> int:
             f"tpu_spmv: unknown format(s) {unknown}; valid: {sorted(FORMATS)}"
         )
 
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
+    )
+    with profile_ctx:
+        return _run_benchmarks(args, coo, x, formats, mode, dtype, rng)
+
+
+def _run_benchmarks(args, coo, x, formats, mode, dtype, rng) -> int:
+    import jax
+    import jax.numpy as jnp
+    import json
+
     if args.auto:
         from .bench import bench_spmv
         from .ops.auto import plan_spmv
@@ -136,6 +154,8 @@ def main(argv=None) -> int:
                                      check=not args.no_check,
                                      quiet=args.json)
     else:
+        from .bench import bench_format_sweep
+
         results = bench_format_sweep(coo, x, formats=formats, mode=mode,
                                      iters=args.iters,
                                      check=not args.no_check,

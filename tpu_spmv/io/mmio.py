@@ -134,6 +134,8 @@ def read_mtx_arrays(path_or_file, *, use_native: bool | None = None):
         if not path.endswith(".gz"):
             from . import native
 
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
             if native.available():
                 row, col, val, shape, field, symmetry = (
                     native.read_mtx_arrays_native(path)

@@ -84,6 +84,11 @@ class PackedELL:
     nnz: int = static_field()
     rounds: int = static_field()
     rows_per_sublane: int = static_field()
+    #: True → rounds are tile-wide (seg is [T, M]; ONE dynamic x2d slice
+    #: broadcast to all 8 sublanes per round). False → per-sublane rounds
+    #: (seg is [T, 8, M]; 8 slices per round).  Local matrices' sublanes
+    #: share segments, so the uniform variant does 1/8th the slice work.
+    tile_uniform: bool = static_field(default=False)
 
     @property
     def ntiles(self) -> int:
@@ -204,49 +209,76 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
     lidx[tile, sub, lane] = (m_cols & 127).astype(np.int8)
     segp[tile, sub, lane] = m_cols >> 7
 
-    # --- per-sublane distinct segments → rounds (vectorized) --------------
-    # sort each sublane's segment plane; padding (-1) sorts first; round id
-    # of a lane = rank of its segment among the sublane's distinct segments
-    flat = segp.reshape(T * 8, LANES)
-    order = np.argsort(flat, axis=1, kind="stable")
-    sorted_ = np.take_along_axis(flat, order, axis=1)
-    valid_sorted = sorted_ >= 0
-    is_new = valid_sorted & (sorted_ != np.roll(sorted_, 1, axis=1))
-    is_new[:, 0] = valid_sorted[:, 0]
-    rid_sorted = np.cumsum(is_new, axis=1) - 1          # -1 on padding run
-    M = int(max(rid_sorted.max() + 1, 1))
-    rnd_dtype = np.int8 if M <= 127 else np.int16
-    rnd = np.zeros((T * 8, LANES), dtype=rnd_dtype)
-    np.put_along_axis(
-        rnd, order, np.maximum(rid_sorted, 0).astype(rnd_dtype), axis=1
-    )
-    rnd[flat < 0] = 0
-    seg = np.zeros((T * 8, M), dtype=np.int32)
-    srow, lpos = np.nonzero(is_new)
-    seg[srow, rid_sorted[srow, lpos]] = sorted_[srow, lpos].astype(np.int32)
+    # --- distinct segments → gather rounds (vectorized) -------------------
+    def assign_rounds(flat):
+        """Per group-row of ``flat [G, L]``: round id of each lane = rank of
+        its segment among the row's distinct segments (padding = -1)."""
+        order = np.argsort(flat, axis=1, kind="stable")
+        sorted_ = np.take_along_axis(flat, order, axis=1)
+        valid_sorted = sorted_ >= 0
+        is_new = valid_sorted & (sorted_ != np.roll(sorted_, 1, axis=1))
+        is_new[:, 0] = valid_sorted[:, 0]
+        rid_sorted = np.cumsum(is_new, axis=1) - 1      # -1 on padding run
+        M = int(max(rid_sorted.max() + 1, 1))
+        rnd_dtype = np.int8 if M <= 127 else np.int16
+        rnd = np.zeros_like(flat, dtype=rnd_dtype)
+        np.put_along_axis(
+            rnd, order, np.maximum(rid_sorted, 0).astype(rnd_dtype), axis=1
+        )
+        rnd[flat < 0] = 0
+        seg_tab = np.zeros((flat.shape[0], M), dtype=np.int32)
+        grow, lpos = np.nonzero(is_new)
+        seg_tab[grow, rid_sorted[grow, lpos]] = sorted_[grow, lpos].astype(
+            np.int32
+        )
+        return rnd, seg_tab, M
+
+    rnd_sub, seg_sub, M_sub = assign_rounds(segp.reshape(T * 8, LANES))
+    rnd_uni, seg_uni, M_uni = assign_rounds(segp.reshape(T, 8 * LANES))
+    # uniform rounds do 1 slice+broadcast vs 8 slices: worth it unless the
+    # tile-wide distinct-segment count blows up (random patterns)
+    tile_uniform = M_uni * 12 <= M_sub * 30
+    if tile_uniform:
+        M = M_uni
+        rnd = rnd_uni.reshape(T, 8, LANES)
+        seg = seg_uni                                    # [T, M]
+    else:
+        M = M_sub
+        rnd = rnd_sub.reshape(T, 8, LANES)
+        seg = seg_sub.reshape(T, 8, M)                   # [T, 8, M]
 
     return PackedELL(
         vals=jnp.asarray(vals),
         lidx=jnp.asarray(lidx),
-        rnd=jnp.asarray(rnd.reshape(T, 8, LANES)),
-        seg=jnp.asarray(seg.reshape(T, 8, M)),
+        rnd=jnp.asarray(rnd),
+        seg=jnp.asarray(seg),
         side=side,
         shape=(int(nrow), int(ncol)),
         nnz=csr_nnz,
         rounds=int(M),
         rows_per_sublane=k,
+        tile_uniform=bool(tile_uniform),
     )
 
 
 def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref, *,
-            rounds, tiles_per_step):
+            rounds, tiles_per_step, tile_uniform):
     def body(tb, _):
         vals = vals_ref[tb]
         lidx = lidx_ref[tb].astype(jnp.int32)
         rnd = rnd_ref[tb].astype(jnp.int32)
         g = jnp.zeros_like(vals)
         for m in range(rounds):
-            tile = jnp.stack([x_ref[seg_ref[tb, i, m], :] for i in range(8)])
+            if tile_uniform:
+                # one slice, replicated to all sublanes (broadcast_to of a
+                # dynamic row hangs Mosaic here; an 8-way stack of the same
+                # loaded row lowers cleanly)
+                row = x_ref[seg_ref[tb, m], :]
+                tile = jnp.stack([row] * 8)
+            else:
+                tile = jnp.stack(
+                    [x_ref[seg_ref[tb, i, m], :] for i in range(8)]
+                )
             gm = jnp.take_along_axis(tile, lidx, axis=1)
             g = jnp.where(rnd == m, gm.astype(vals.dtype), g)
         prod = vals * g
@@ -294,15 +326,22 @@ def spmv_pallas(A: PackedELL, x: jax.Array, *, interpret: bool = False,
     else:
         vals, lidx, rnd, seg = A.vals, A.lidx, A.rnd, A.seg
 
+    seg_spec = (
+        pl.BlockSpec((tps, A.rounds), lambda s: (s, 0),
+                     memory_space=pltpu.SMEM)
+        if A.tile_uniform else
+        pl.BlockSpec((tps, 8, A.rounds), lambda s: (s, 0, 0),
+                     memory_space=pltpu.SMEM)
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, rounds=A.rounds, tiles_per_step=tps),
+        functools.partial(_kernel, rounds=A.rounds, tiles_per_step=tps,
+                          tile_uniform=A.tile_uniform),
         out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), A.vals.dtype),
         grid=(nsteps,),
         in_specs=[
             # per-round segment ids: small per-step block in SMEM (scalar
             # reads steer the dynamic x2d row slices)
-            pl.BlockSpec((tps, 8, A.rounds), lambda s: (s, 0, 0),
-                         memory_space=pltpu.SMEM),
+            seg_spec,
             pl.BlockSpec((tps, 8, LANES), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tps, 8, LANES), lambda s: (s, 0, 0),
