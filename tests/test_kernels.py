@@ -93,3 +93,35 @@ def test_pack_from_csr_directly():
         np.asarray(y, np.float64), mat @ np.asarray(x, np.float64),
         rtol=2e-5, atol=1e-6,
     )
+
+
+def test_spmm_pallas(rng):
+    mat = utils.banded(300, 4, seed=18)
+    packed = ell_pallas.pack_ell(mat.astype(np.float32))
+    X = jnp.asarray(rng.standard_normal((300, 5)), jnp.float32)
+    Y = ell_pallas.spmm_pallas(packed, X, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(Y, np.float64), mat @ np.asarray(X, np.float64),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_packed_to_coo_roundtrip():
+    mat = utils.random_sparse(150, 400, 0.04, seed=19)
+    packed = ell_pallas.pack_ell(mat.astype(np.float32))
+    back = packed.to_coo().to_scipy().toarray()
+    np.testing.assert_allclose(back, mat.toarray(), rtol=1e-6, atol=1e-7)
+
+
+def test_planner_uses_pallas_for_irregular():
+    from tpu_spmv.ops.auto import plan_spmv
+
+    mat = utils.random_sparse(256, 256, 0.05, seed=20)
+    coo = ts.COO.from_scipy(mat).astype(jnp.float32)
+    plan = plan_spmv(coo, use_pallas=True)
+    assert plan.strategy == "pallas_ell"
+    x = jnp.asarray(np.random.default_rng(2).random(256), jnp.float32)
+    y = plan(x)
+    ref = mat @ np.asarray(x, np.float64)
+    assert np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(
+        np.abs(ref)) < 2e-5

@@ -45,7 +45,8 @@ _NAMES = {COO: "COO", CSR: "CSR", CSC: "CSC", ELL: "ELL", DIA: "DIA",
 
 
 def format_name(A) -> str:
-    return _NAMES.get(type(A), type(A).__name__)
+    name = _NAMES.get(type(A), type(A).__name__)
+    return "PSELL" if name == "PackedELL" else name
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,6 +73,11 @@ def spmv_bytes(A, x_dtype=None) -> int:
         return A.data.size * val + A.nblocks * idx + vec
     if isinstance(A, BDIA):
         return A.data.size * val + vec
+    from ..kernels.ell_pallas import PackedELL
+
+    if isinstance(A, PackedELL):
+        idx_bytes = A.lidx.dtype.itemsize + A.rnd.dtype.itemsize
+        return A.vals.size * (val + idx_bytes) + A.seg.size * 4 + vec
     raise TypeError(f"unsupported sparse type {type(A).__name__}")
 
 

@@ -145,7 +145,7 @@ def _run_benchmarks(args, coo, x, formats, mode, dtype, rng) -> int:
             print(f"planner: strategy={plan.strategy}")
         results = [bench_spmv(plan.matrix, x, mode=f"{mode}-AUTO",
                               iters=args.iters, check=not args.no_check,
-                              quiet=args.json)]
+                              quiet=args.json, spmv_fn=plan._kernel)]
     elif args.pallas:
         from .kernels import bench_pallas_sweep
 

@@ -53,7 +53,7 @@ from ..formats.coo import COO
 from ..formats.csr import CSR
 from ..formats.ell import ELL
 
-__all__ = ["PackedELL", "pack_ell", "spmv_pallas", "supports"]
+__all__ = ["PackedELL", "pack_ell", "spmv_pallas", "spmm_pallas", "supports"]
 
 #: tiles (8 sublanes x 128 lanes) per grid step — amortizes grid overhead.
 TILES_PER_STEP = 64
@@ -101,6 +101,32 @@ class PackedELL:
     @property
     def dtype(self):
         return self.vals.dtype
+
+    def to_coo(self) -> COO:
+        """Reconstruct the logical matrix (oracle checks, roofline)."""
+        vals = np.asarray(self.vals)
+        lidx = np.asarray(self.lidx).astype(np.int64)
+        rnd = np.asarray(self.rnd).astype(np.int64)
+        seg = np.asarray(self.seg).astype(np.int64)
+        t, i, l = np.nonzero(vals)
+        if self.tile_uniform:
+            segs = seg[t, rnd[t, i, l]]
+        else:
+            segs = seg[t, i, rnd[t, i, l]]
+        cols = segs * LANES + lidx[t, i, l]
+        k, W = self.rows_per_sublane, self.lane_width
+        rows = t * 8 * k + i * k + l // W
+        main = COO.from_arrays(rows, cols, vals[t, i, l], self.shape,
+                               dtype=vals.dtype)
+        if self.side.nnz == 0:
+            return main
+        return COO.from_arrays(
+            np.concatenate([np.asarray(main.row), np.asarray(self.side.row)]),
+            np.concatenate([np.asarray(main.col), np.asarray(self.side.col)]),
+            np.concatenate([np.asarray(main.data),
+                            np.asarray(self.side.data)]),
+            self.shape, dtype=vals.dtype,
+        )
 
 
 def supports(mat) -> bool:
@@ -361,3 +387,21 @@ def spmv_pallas(A: PackedELL, x: jax.Array, *, interpret: bool = False,
 
         y = spmv_coo(A.side, x.astype(A.vals.dtype), y=y)
     return y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_pallas(A: PackedELL, X: jax.Array, *, interpret: bool = False
+                ) -> jax.Array:
+    """``A @ X`` (``X: [ncol, nrhs]``) — per-RHS sweep of the SpMV kernel.
+
+    The packed operands (values, index planes) are shared across the
+    right-hand sides; ``lax.map`` compiles the kernel once and iterates.
+    XLA's own CSR SpMM is gather-bound (~1 GFLOP/s measured), so even the
+    sequential sweep wins by the SpMV kernel's margin.
+    """
+    if X.ndim != 2:
+        raise ValueError(f"X must be [ncol, nrhs], got {X.shape}")
+    cols = jax.lax.map(
+        lambda col: spmv_pallas(A, col, interpret=interpret), X.T
+    )
+    return cols.T

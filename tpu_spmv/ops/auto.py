@@ -74,7 +74,7 @@ class SpmvPlan:
     """A chosen execution strategy: converted matrix + kernel."""
 
     matrix: object              # the converted format instance
-    strategy: str               # "dia" | "bsr" | "ell" | "csr"
+    strategy: str               # "dia" | "bdia" | "pallas_ell" | "bsr" | ...
     stats: PatternStats
     _kernel: Callable = spmv
 
@@ -96,8 +96,6 @@ def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
     """
     stats = analyze(mat)
     kernel = spmv
-    if use_pallas is None:
-        use_pallas = False  # flipped by tpu_spmv.kernels when beneficial
     if stats.nnz == 0:
         return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
     dia_storage = stats.ndiags * stats.nrow
@@ -109,6 +107,26 @@ def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
         # block-banded (structured PDE): gather-free block-diagonal einsum
         return SpmvPlan(convert(mat, "bdia", block_size=8), "bdia", stats,
                         kernel)
+    # no gather-free formulation: the Pallas lane-gather kernel beats every
+    # XLA gather/scatter path by 20-100x on TPU (see docs/DESIGN.md); use
+    # it whenever its envelope covers the matrix
+    import jax
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform != "cpu"
+    if use_pallas:
+        from ..kernels import ell_pallas
+
+        coo = to_coo(mat)
+        if ell_pallas.supports(coo):
+            packed = ell_pallas.pack_ell(coo)
+
+            def pallas_kernel(A, x, y=None):
+                interp = jax.devices()[0].platform == "cpu"
+                out = ell_pallas.spmv_pallas(A, x, interpret=interp)
+                return out if y is None else y + out
+
+            return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
     if stats.block_fill_8 >= 0.25:
         return SpmvPlan(convert(mat, "bsr", block_size=8), "bsr", stats, kernel)
     if stats.ell_fill >= 0.25:
