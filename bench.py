@@ -42,22 +42,20 @@ def main() -> int:
     dev = jax.devices()[0]
     log(f"bench: device={dev.device_kind} platform={dev.platform}")
 
-    # --- measured speed-of-light over 256 MiB ---
+    # --- measured speed-of-light over 256 MiB: must exceed VMEM by a wide
+    # margin or the "roofline" measures on-chip SRAM (64 MiB measured
+    # 16 TB/s on v5e) ---
     v = jnp.asarray(np.random.default_rng(0).random(1 << 26), jnp.float32)
-    # stream (read+write)
+    # stream (read+write).  A pure-read measurement would be a better
+    # matrix-streaming proxy, but every loop-carried formulation either got
+    # hoisted by XLA or hung this backend — stream is the robust floor, so
+    # roofline fractions above 1.0 just mean the kernel beats read+write
+    # streaming (e.g. via VMEM residency of loop-invariant operands).
     sol_dt = time_chained(lambda c: c * 1.0000001 + 1e-9, v, iters=20, warm=2)
     stream_gbps = 2 * v.size * 4 / sol_dt / 1e9
-    # pure read (SpMV re-reads the matrix and barely writes): carry a tiny
-    # vector, re-reduce the big buffer each iteration
-    small = jnp.zeros((8, 128), jnp.float32)
-    rd_dt = time_chained(
-        lambda c: c * 0.5 + jnp.sum(v * (1.0 + c[0, 0] * 1e-30)), small,
-        iters=20, warm=2,
-    )
-    read_gbps = v.size * 4 / rd_dt / 1e9
-    measured_peak_gbps = max(stream_gbps, read_gbps)
-    log(f"bench: measured roofline stream={stream_gbps:.0f} "
-        f"read={read_gbps:.0f} GB/s (spec {hbm_bandwidth_gbps(dev):.0f})")
+    measured_peak_gbps = stream_gbps
+    log(f"bench: measured stream roofline = {stream_gbps:.0f} GB/s "
+        f"(spec {hbm_bandwidth_gbps(dev):.0f})")
     del v
 
     # --- the benchmark matrix: 1024x1024-grid 5-point Poisson, n=1M ---

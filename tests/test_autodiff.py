@@ -1,0 +1,110 @@
+"""Differentiability of the compute surface — a capability no C++ SpMV
+library has, and free here because formats are pytrees and kernels are
+pure XLA: ``grad``/``jvp``/``vmap`` compose with SpMV out of the box."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_spmv as ts
+from tpu_spmv import utils
+
+FORMAT_NAMES = ["coo", "csr", "csc", "ell", "dia", "bsr", "bdia"]
+
+
+@pytest.fixture(scope="module")
+def mat():
+    return utils.laplacian_2d(8, 7)
+
+
+@pytest.mark.parametrize("fmt", FORMAT_NAMES)
+def test_grad_wrt_x(mat, fmt, rng):
+    """d/dx [ 0.5 ||A x||^2 ] = A^T A x — checked against scipy."""
+    A = ts.convert(ts.COO.from_scipy(mat), fmt)
+    x = rng.standard_normal(mat.shape[1])
+
+    def loss(v):
+        y = ts.spmv(A, v)
+        return 0.5 * jnp.vdot(y, y)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    ref = mat.T @ (mat @ x)
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-10, atol=1e-11)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "dia", "bdia"])
+def test_grad_wrt_values(mat, fmt, rng):
+    """Gradients flow into the matrix VALUES leaf (sparsity-pattern-fixed
+    matrix learning — e.g. learned stencils)."""
+    A = ts.convert(ts.COO.from_scipy(mat), fmt)
+    x = jnp.asarray(rng.standard_normal(mat.shape[1]))
+    t = jnp.asarray(rng.standard_normal(mat.shape[0]))
+
+    def loss(data):
+        import dataclasses
+
+        A2 = dataclasses.replace(A, data=data)
+        return jnp.vdot(t, ts.spmv(A2, x))
+
+    g = jax.grad(loss)(A.data)
+    assert g.shape == A.data.shape
+    # directional check: d loss/d data[i] for entry (r, c) is t[r] * x[c]
+    eps = 1e-6
+    d0 = np.zeros(A.data.shape)
+    flat_idx = np.unravel_index(0, A.data.shape)
+    d0[flat_idx] = eps
+    f0 = float(loss(A.data))
+    f1 = float(loss(A.data + jnp.asarray(d0)))
+    np.testing.assert_allclose(
+        np.asarray(g)[flat_idx], (f1 - f0) / eps, rtol=1e-4, atol=1e-7
+    )
+
+
+def test_jvp_matches_spmv(mat, rng):
+    """SpMV is linear: its JVP in x IS SpMV."""
+    A = ts.convert(ts.COO.from_scipy(mat), "csr")
+    x = jnp.asarray(rng.standard_normal(mat.shape[1]))
+    dx = jnp.asarray(rng.standard_normal(mat.shape[1]))
+    _, tangent = jax.jvp(lambda v: ts.spmv(A, v), (x,), (dx,))
+    np.testing.assert_allclose(
+        np.asarray(tangent), np.asarray(ts.spmv(A, dx)), rtol=1e-12
+    )
+
+
+def test_vmap_over_rhs(mat, rng):
+    """vmap(spmv) over a batch of vectors == spmm."""
+    A = ts.convert(ts.COO.from_scipy(mat), "csr")
+    X = jnp.asarray(rng.standard_normal((mat.shape[1], 6)))
+    Y1 = jax.vmap(lambda v: ts.spmv(A, v), in_axes=1, out_axes=1)(X)
+    Y2 = ts.spmm(A, X)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-12)
+
+
+def test_grad_through_cg(rng):
+    """Differentiating through a whole CG solve (implicit-function use
+    cases); small system so unrolled while_loop grads stay stable."""
+    mat = utils.laplacian_2d(4, 4)
+    A = ts.convert(ts.COO.from_scipy(mat), "csr")
+    b = jnp.asarray(rng.standard_normal(mat.shape[0]))
+
+    def solve_norm(bv):
+        from tpu_spmv.solvers import cg
+
+        # fixed iteration count → differentiable scan-like structure
+        x = bv
+        r = bv - ts.spmv(A, x)
+        p = r
+        rr = jnp.vdot(r, r)
+        for _ in range(10):
+            Ap = ts.spmv(A, p)
+            alpha = rr / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rr_new = jnp.vdot(r, r)
+            p = r + (rr_new / rr) * p
+            rr = rr_new
+        return jnp.vdot(x, x)
+
+    g = jax.grad(solve_norm)(b)
+    assert np.all(np.isfinite(np.asarray(g)))

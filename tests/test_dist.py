@@ -151,3 +151,22 @@ def test_weak_scaling_sanity(mesh, rng):
     y8 = dist.spmv_halo(mesh, dist.place(A8, mesh),
                         dist.place(x8, mesh)).to_global()
     np.testing.assert_allclose(y1, y8, rtol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["allgather", "halo"])
+def test_spmm_sharded(mesh, rng, kind):
+    """Row-sharded multi-RHS SpMM (BASELINE config 3, distributed)."""
+    mat = utils.random_sparse(220, 180, 0.05, seed=68)
+    csr = ts.convert(ts.COO.from_scipy(mat), "csr")
+    X = rng.standard_normal((180, 7))
+    if kind == "halo":
+        A = dist.HaloCSR.build(csr, 8)
+        Xs = dist.ShardedVector.from_global(X, A.col_plan)
+        Ys = dist.spmm_halo(mesh, dist.place(A, mesh), dist.place(Xs, mesh))
+    else:
+        A = dist.ShardedCSR.build(csr, 8)
+        Xs = dist.ShardedVector.from_global(X, A.col_plan)
+        Ys = dist.spmm_allgather(mesh, dist.place(A, mesh),
+                                 dist.place(Xs, mesh))
+    np.testing.assert_allclose(Ys.to_global(), mat @ X, rtol=1e-12,
+                               atol=1e-12)

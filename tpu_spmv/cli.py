@@ -93,19 +93,24 @@ def main(argv=None) -> int:
     dtype = dict(float32=jnp.float32, float64=jnp.float64,
                  bfloat16=jnp.bfloat16)[args.dtype]
 
+    import scipy.sparse as sp
+
     if args.synthetic:
-        sp_mat = _parse_synthetic(args.synthetic).tocoo()
-        coo = COO.from_arrays(sp_mat.row, sp_mat.col, sp_mat.data,
-                              sp_mat.shape, dtype=dtype)
-        print(f"synthetic {args.synthetic}: shape={coo.shape} nnz={coo.nnz}")
+        host_mat = _parse_synthetic(args.synthetic).tocoo()
     else:
+        from .io.mmio import read_mtx_arrays
+
         try:
-            coo = read_matrix(args.matrix, dtype=dtype)
+            row, col, val, shape = read_mtx_arrays(args.matrix)
         except FileNotFoundError:
             raise SystemExit(f"tpu_spmv: matrix file not found: {args.matrix}")
         except ValueError as e:
             raise SystemExit(f"tpu_spmv: cannot read {args.matrix}: {e}")
-        print(f"{args.matrix}: shape={coo.shape} nnz={coo.nnz}")
+        host_mat = sp.coo_matrix((val, (row, col)), shape=shape)
+    coo = COO.from_arrays(host_mat.row, host_mat.col, host_mat.data,
+                          host_mat.shape, dtype=dtype)
+    src = args.synthetic and f"synthetic {args.synthetic}" or args.matrix
+    print(f"{src}: shape={coo.shape} nnz={coo.nnz}")
 
     rng = np.random.default_rng(args.seed)
     x = jnp.asarray(rng.random(coo.shape[1]), dtype=dtype)
@@ -128,10 +133,11 @@ def main(argv=None) -> int:
         else contextlib.nullcontext()
     )
     with profile_ctx:
-        return _run_benchmarks(args, coo, x, formats, mode, dtype, rng)
+        return _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype,
+                               rng)
 
 
-def _run_benchmarks(args, coo, x, formats, mode, dtype, rng) -> int:
+def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
     import jax
     import jax.numpy as jnp
     import json
@@ -140,7 +146,8 @@ def _run_benchmarks(args, coo, x, formats, mode, dtype, rng) -> int:
         from .bench import bench_spmv
         from .ops.auto import plan_spmv
 
-        plan = plan_spmv(coo)
+        # plan from the host-side matrix: planning/packing stays off-device
+        plan = plan_spmv(host_mat, dtype=dtype)
         if not args.json:
             print(f"planner: strategy={plan.strategy}")
         results = [bench_spmv(plan.matrix, x, mode=f"{mode}-AUTO",

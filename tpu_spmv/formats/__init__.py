@@ -38,11 +38,16 @@ FORMATS = {
 AnyFormat = COO | CSR | CSC | ELL | DIA | BSR | BDIA
 
 
-def to_coo(mat: AnyFormat) -> COO:
-    """Any format → COO (the canonical interchange format)."""
+def to_coo(mat) -> COO:
+    """Any format (tpu_spmv or scipy.sparse) → COO, the canonical
+    interchange format."""
     if isinstance(mat, COO):
         return mat
-    return mat.to_coo()
+    if hasattr(mat, "to_coo"):
+        return mat.to_coo()
+    if hasattr(mat, "tocoo"):          # scipy.sparse
+        return COO.from_scipy(mat)
+    raise TypeError(f"cannot convert {type(mat).__name__} to COO")
 
 
 def convert(mat: AnyFormat, target: str | type, **kwargs) -> AnyFormat:

@@ -149,11 +149,13 @@ def _estimate_rounds(row_ids: np.ndarray, seg_of: np.ndarray, nrow: int,
 
 
 def pack_ell(mat, *, rows_per_sublane: int | None = None,
-             dtype=None) -> PackedELL:
+             dtype=None, max_rounds: int | None = None) -> PackedELL:
     """Pack a CSR/ELL/COO matrix for the Pallas kernel (host numpy).
 
     Picks ``k`` (rows per sublane) to minimize estimated kernel cost
-    ``tiles * rounds`` unless given explicitly.
+    ``tiles * rounds`` unless given explicitly.  ``max_rounds`` rejects
+    scattered patterns early (before the expensive layout work) with a
+    ValueError — the planner's cheap escape hatch.
     """
     if hasattr(mat, "tocsr") and not isinstance(mat, (ELL, COO, CSR)):
         # scipy input: stay on the host (device readbacks can be slow on
@@ -207,6 +209,13 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
         rows_per_sublane = best
     k = int(rows_per_sublane)
     W = LANES // k
+    if max_rounds is not None:
+        est = _estimate_rounds(row_ids_np, seg_of, nrow, k)
+        if est > max_rounds:
+            raise ValueError(
+                f"estimated gather rounds {est:.0f} > budget {max_rounds}: "
+                f"pattern too scattered for the lane-gather kernel"
+            )
 
     # --- split main/overflow ---------------------------------------------
     offs = np.arange(len(cols)) - indptr[row_ids_np]

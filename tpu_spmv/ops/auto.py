@@ -45,12 +45,27 @@ class PatternStats:
     ell_fill: float             # nnz / (nrow * max_row_nnz)
 
 
-def analyze(mat) -> PatternStats:
+def _host_coo(mat, dtype=None):
+    """A COO whose leaves stay host numpy — planning must not round-trip
+    the device (readbacks are slow on tunneled backends).  Valid input to
+    every conversion (they np.asarray their inputs)."""
+    from ..formats.coo import COO
+
+    if hasattr(mat, "tocoo") and not isinstance(mat, COO):
+        m = mat.tocoo()
+        data = m.data if dtype is None else m.data.astype(dtype)
+        return COO(row=m.row.astype(np.int64), col=m.col.astype(np.int64),
+                   data=data, shape=m.shape, rows_sorted=False)
     coo = to_coo(mat)
+    return coo if dtype is None else coo.astype(dtype)
+
+
+def analyze(mat) -> PatternStats:
+    coo = _host_coo(mat)
     row = np.asarray(coo.row, dtype=np.int64)
     col = np.asarray(coo.col, dtype=np.int64)
     nrow, ncol = coo.shape
-    nnz = coo.nnz
+    nnz = int(np.asarray(coo.data).shape[0])
     if nnz == 0:
         return PatternStats(nrow, ncol, 0, 0, 0, 0, 0.0, 0.0, 0.0)
     ndiags = len(np.unique(col - row))
@@ -82,7 +97,8 @@ class SpmvPlan:
         return self._kernel(self.matrix, x, y)
 
 
-def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
+def plan_spmv(mat, *, use_pallas: bool | None = None,
+              dtype=None) -> SpmvPlan:
     """Analyze ``mat`` and return the best-strategy plan.
 
     Heuristics (thresholds chosen from measured TPU costs: shifts >> block
@@ -97,15 +113,15 @@ def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
     stats = analyze(mat)
     kernel = spmv
     if stats.nnz == 0:
-        return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
+        return SpmvPlan(convert(_host_coo(mat, dtype), "csr"), "csr", stats, kernel)
     dia_storage = stats.ndiags * stats.nrow
     bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
     if (stats.ndiags <= 64 or dia_storage <= 4 * stats.nnz) and \
             dia_storage <= bdia_storage:
-        return SpmvPlan(convert(mat, "dia"), "dia", stats, kernel)
+        return SpmvPlan(convert(_host_coo(mat, dtype), "dia"), "dia", stats, kernel)
     if bdia_storage <= 4 * stats.nnz:
         # block-banded (structured PDE): gather-free block-diagonal einsum
-        return SpmvPlan(convert(mat, "bdia", block_size=8), "bdia", stats,
+        return SpmvPlan(convert(_host_coo(mat, dtype), "bdia", block_size=8), "bdia", stats,
                         kernel)
     # no gather-free formulation: the Pallas lane-gather kernel beats every
     # XLA gather/scatter path by 20-100x on TPU (see docs/DESIGN.md); use
@@ -117,18 +133,26 @@ def plan_spmv(mat, *, use_pallas: bool | None = None) -> SpmvPlan:
     if use_pallas:
         from ..kernels import ell_pallas
 
-        coo = to_coo(mat)
-        if ell_pallas.supports(coo):
-            packed = ell_pallas.pack_ell(coo)
+        # envelope: x2d must fit in VMEM (checked on shape alone — no
+        # device-array conversion during planning)
+        if mat.shape[1] <= 3_000_000 and mat.shape[0] >= 1:
+            source = _host_coo(mat, dtype)
+            try:
+                # the kernel unrolls its gather rounds: a large M (scattered
+                # columns, e.g. big uniform-random patterns) blows up both
+                # compile and run time — max_rounds rejects those early
+                packed = ell_pallas.pack_ell(source, max_rounds=48, dtype=dtype)
+            except ValueError:
+                packed = None
+            if packed is not None and packed.shape[1] <= 3_000_000:
+                def pallas_kernel(A, x, y=None):
+                    interp = jax.devices()[0].platform == "cpu"
+                    out = ell_pallas.spmv_pallas(A, x, interpret=interp)
+                    return out if y is None else y + out
 
-            def pallas_kernel(A, x, y=None):
-                interp = jax.devices()[0].platform == "cpu"
-                out = ell_pallas.spmv_pallas(A, x, interpret=interp)
-                return out if y is None else y + out
-
-            return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
+                return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
     if stats.block_fill_8 >= 0.25:
-        return SpmvPlan(convert(mat, "bsr", block_size=8), "bsr", stats, kernel)
+        return SpmvPlan(convert(_host_coo(mat, dtype), "bsr", block_size=8), "bsr", stats, kernel)
     if stats.ell_fill >= 0.25:
-        return SpmvPlan(convert(mat, "ell"), "ell", stats, kernel)
-    return SpmvPlan(convert(mat, "csr"), "csr", stats, kernel)
+        return SpmvPlan(convert(_host_coo(mat, dtype), "ell"), "ell", stats, kernel)
+    return SpmvPlan(convert(_host_coo(mat, dtype), "csr"), "csr", stats, kernel)
