@@ -15,6 +15,12 @@ matched to TPU hardware:
 The returned plan is a converted matrix + the matching kernel; calling it is
 just ``plan(x)``.  Pattern analysis cost is amortized across every
 subsequent SpMV (the reference re-converts per benchmark run too).
+
+Preference order (from measured TPU costs, docs/DESIGN.md):
+DIA > BDIA (both gather-free, run at HBM speed of light) > Pallas
+packed-ELL (lane-gather, 20-100x XLA, bounded gather rounds) > BSR / ELL /
+CSR XLA fallbacks.  All planning and packing stays on host numpy — device
+round-trips during setup are expensive on tunneled backends.
 """
 
 from __future__ import annotations
