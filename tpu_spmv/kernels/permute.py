@@ -1,0 +1,394 @@
+"""General permutation engine for TPU — host-routed, gather/transpose only.
+
+The TPU's only fast irregular-data-movement primitive is the lane-window
+gather (within 128 lanes).  Arbitrary permutations — the missing link for
+fast general sparse kernels (segment-grouped gather → row-sorted reduce,
+see docs/DESIGN.md roadmap) — are composed from it classically:
+
+**Within a ``[128, 128]`` tile** any permutation factors into three
+lane-gather phases with two transposes between them (the 3-stage Clos /
+mesh-routing decomposition):
+
+    out = G3( T( G2( T( G1(x) ) ) ) )
+
+where phase 2's feasibility — *every intermediate column holds at most one
+element per source row and per destination row* — is exactly a proper
+128-edge-coloring of the bipartite multigraph (source rows × destination
+rows, one edge per element), which König's theorem guarantees.
+:func:`plan_tile_permutation` computes the coloring (alternating-path
+algorithm) and emits the three index planes; :func:`apply_tile_permutation`
+is the Pallas kernel (G-T-G-T-G, all VPU work).
+
+Scaling beyond one tile (cross-tile element exchange via whole-row
+stacking + per-tile routing) is the next layer; this module is the
+load-bearing core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["color_bipartite", "plan_tile_permutation",
+           "apply_tile_permutation", "permute_reference"]
+
+Q = 128
+
+
+def color_bipartite(src: np.ndarray, dst: np.ndarray, q: int = Q) -> np.ndarray:
+    """Proper q-edge-coloring of a bipartite multigraph with max degree <= q.
+
+    ``src[i]``/``dst[i]`` are the endpoints of edge ``i`` (values in
+    [0, q)).  Returns a color per edge such that no two edges sharing a
+    source or a destination get the same color.  Classic alternating-path
+    (Vizing-for-bipartite) algorithm: O(E * path_length).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    E = len(src)
+    src_slot = np.full((q, q), -1, dtype=np.int64)   # src_slot[u, c] = edge
+    dst_slot = np.full((q, q), -1, dtype=np.int64)
+    color = np.full(E, -1, dtype=np.int64)
+
+    for e in range(E):
+        u, v = int(src[e]), int(dst[e])
+        a = int(np.argmax(src_slot[u] < 0))
+        if src_slot[u, a] >= 0:
+            raise ValueError(f"source row {u} has degree > {q}")
+        b = int(np.argmax(dst_slot[v] < 0))
+        if dst_slot[v, b] >= 0:
+            raise ValueError(f"destination row {v} has degree > {q}")
+        if a != b:
+            # walk the a/b-alternating path from v (first edge: colored a
+            # at v), collect it, then flip a<->b along it.  The path can
+            # never reach u via color a (a is free at u) nor cycle, so the
+            # flip frees color a at v.  König constructively.
+            path = []
+            node, side, col = v, "dst", a
+            while True:
+                eid = int(dst_slot[node, col] if side == "dst"
+                          else src_slot[node, col])
+                if eid < 0:
+                    break
+                path.append(eid)
+                if side == "dst":
+                    node, side = int(src[eid]), "src"
+                else:
+                    node, side = int(dst[eid]), "dst"
+                col = b if col == a else a
+            for eid in path:        # clear old slots
+                c_old = int(color[eid])
+                if src_slot[src[eid], c_old] == eid:
+                    src_slot[src[eid], c_old] = -1
+                if dst_slot[dst[eid], c_old] == eid:
+                    dst_slot[dst[eid], c_old] = -1
+            for eid in path:        # rebind with flipped colors
+                c_new = b if color[eid] == a else a
+                color[eid] = c_new
+                src_slot[src[eid], c_new] = eid
+                dst_slot[dst[eid], c_new] = eid
+        color[e] = a
+        src_slot[u, a] = e
+        dst_slot[v, a] = e
+    return color
+
+
+def permute_reference(x: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """``out[i] = x[perm[i]]`` (numpy oracle)."""
+    return np.asarray(x).ravel()[perm].reshape(np.asarray(x).shape)
+
+
+def plan_tile_permutation(perm: np.ndarray):
+    """Index planes (g1, g2, g3) realizing ``out.flat[i] = x.flat[perm[i]]``
+    on a ``[128, 128]`` tile via G-T-G-T-G.
+
+    ``perm`` is a permutation of ``range(128*128)`` (flat, row-major).
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.shape != (Q * Q,):
+        raise ValueError(f"perm must have {Q * Q} entries")
+    dst_r, dst_c = np.divmod(np.arange(Q * Q, dtype=np.int64), Q)
+    src_r, src_c = np.divmod(perm, Q)
+    colors = color_bipartite(src_r, dst_r)
+    g1 = np.zeros((Q, Q), dtype=np.int32)   # z1[r, m]  = x[r, g1[r, m]]
+    g2 = np.zeros((Q, Q), dtype=np.int32)   # z3[m, r'] = z2[m, g2[m, r']]
+    g3 = np.zeros((Q, Q), dtype=np.int32)   # out[r',c']= z4[r', g3[r', c']]
+    g1[src_r, colors] = src_c
+    g2[colors, dst_r] = src_r
+    g3[dst_r, dst_c] = colors
+    return g1, g2, g3
+
+
+def _tile_perm_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
+    z = jnp.take_along_axis(x_ref[:], g1_ref[:], axis=1)
+    z = z.T
+    z = jnp.take_along_axis(z, g2_ref[:], axis=1)
+    z = z.T
+    o_ref[:] = jnp.take_along_axis(z, g3_ref[:], axis=1)
+
+
+def apply_tile_permutation(x, planes, *, interpret: bool = False):
+    """Apply a planned within-tile permutation to a ``[128, 128]`` array."""
+    g1, g2, g3 = (jnp.asarray(g) for g in planes)
+    return pl.pallas_call(
+        _tile_perm_kernel,
+        out_shape=jax.ShapeDtypeStruct((Q, Q), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, g1, g2, g3)
+
+
+# ---------------------------------------------------------------------------
+# Multi-tile permutations: consolidate -> exchange rows -> place
+# ---------------------------------------------------------------------------
+
+from ..formats.base import sparse_dataclass, static_field  # noqa: E402
+
+TILE = Q * Q          # elements per [128, 128] tile
+
+
+@sparse_dataclass
+class PermutationPlan:
+    """Host-routed plan applying ``out.flat[i] = x.flat[perm[i]]``.
+
+    Three stages (two fused Pallas calls):
+
+    1. within each *source* tile, consolidate elements into whole rows by
+       destination tile (planes ``a1/a2/a3``, G-T-G-T-G);
+    2. exchange whole rows across tiles (``rowsrc``: for each global dest
+       row, the global source row) — per-sublane dynamic slices;
+    3. within each *destination* tile, place elements at their final
+       positions (planes ``b1/b2/b3``) — fused with stage 2.
+
+    Feasibility requires every tile to send and receive <= 128 whole rows;
+    group-per-row padding makes this tight near T = 128 tiles, so keep
+    permutations <= ~512k elements per call (T <= 32) for slack.
+    """
+
+    a1: jax.Array   # [T, 128, 128] int32
+    a2: jax.Array
+    a3: jax.Array
+    rowsrc: jax.Array   # [T*128] int32 global source row per dest row
+    b1: jax.Array
+    b2: jax.Array
+    b3: jax.Array
+    n: int = static_field()
+    real_per_tile: int = static_field(default=TILE)
+
+    @property
+    def ntiles(self) -> int:
+        return int(self.a1.shape[0])
+
+
+def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
+                     ) -> PermutationPlan:
+    """Route an arbitrary permutation of ``n`` elements.
+
+    Elements are laid out ``slack``-padded: each tile carries
+    ``r_p = TILE*(1-slack)`` real slots (rounded to whole 128-rows), the
+    rest are self-mapped dummies — the headroom that keeps the
+    rows-per-tile budget feasible for random flows.  ``apply_permutation``
+    handles the (free) reshape/pad between the flat ``[n]`` view and the
+    padded tile layout.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n = len(perm)
+    idx = np.arange(n, dtype=np.int64)
+
+    # adaptive tile fill: search downward for an r_p whose EXACT row
+    # budget (send and receive <= 128 whole rows per tile) is feasible
+    r_p = None
+    start = max((int(TILE * (1.0 - slack)) // Q) * Q, Q)
+    for cand in range(start, Q - 1, -1024):
+        T_c = max(-(-n // cand), 1)
+        ts_c = perm // cand
+        td_c = idx // cand
+        pair = ts_c * T_c + td_c
+        uniq, cnt = np.unique(pair, return_counts=True)
+        rows_per_pair = -(-cnt // Q)
+        send = np.bincount(uniq // T_c, weights=rows_per_pair, minlength=T_c)
+        recv = np.bincount(uniq % T_c, weights=rows_per_pair, minlength=T_c)
+        if send.max() <= Q and recv.max() <= Q:
+            r_p = cand
+            break
+    if r_p is None:
+        raise ValueError(
+            f"no feasible single-level routing for n={n}; chunk the "
+            f"permutation below ~900k elements"
+        )
+    T = max(-(-n // r_p), 1)
+    # padded-layout positions: element i lives at tile i//r_p, slot i%r_p
+    ts, sp = np.divmod(perm, r_p)     # src tile, slot within
+    td, dp = np.divmod(idx, r_p)      # dst tile, slot within
+
+    # ---- stage-2 row assignment: chunk (ts -> td) flows into rows --------
+    # order elements by (ts, td): chunks of <=128 become whole rows
+    order = np.lexsort((td, ts))
+    ts_o, td_o = ts[order], td[order]
+    pair = ts_o * T + td_o
+    new_pair = np.ones(n, dtype=bool)
+    new_pair[1:] = pair[1:] != pair[:-1]
+    # position within its (ts, td) group
+    grp_start = np.zeros(n, dtype=np.int64)
+    grp_start[new_pair] = np.flatnonzero(new_pair)
+    grp_start = np.maximum.accumulate(grp_start)
+    pos_in_grp = np.arange(n) - grp_start
+    chunk = pos_in_grp // Q           # chunk index within group
+    lane = (pos_in_grp % Q).astype(np.int64)
+    # unique (pair, chunk) -> a stage-2 row
+    ckey = pair * (Q + 1) + np.minimum(chunk, Q)
+    new_row = np.ones(n, dtype=bool)
+    new_row[1:] = ckey[1:] != ckey[:-1]
+    row_id_of_elem = np.cumsum(new_row) - 1           # global packed row id
+    nrows = int(row_id_of_elem[-1]) + 1
+    row_ts = ts_o[new_row]
+    row_td = td_o[new_row]
+    # per-tile row budgets
+    send_counts = np.bincount(row_ts, minlength=T)
+    recv_counts = np.bincount(row_td, minlength=T)
+    if send_counts.max() > Q or recv_counts.max() > Q:
+        raise ValueError(
+            f"infeasible routing: a tile needs to send "
+            f"{int(send_counts.max())} / receive {int(recv_counts.max())} "
+            f"rows (> {Q}); use smaller permutation chunks"
+        )
+    # src row index within its source tile, dest row slot within dest tile
+    def slot_within(owner):
+        slots = np.zeros(nrows, dtype=np.int64)
+        seen = {}
+        for r in range(nrows):
+            o = int(owner[r])
+            slots[r] = seen.get(o, 0)
+            seen[o] = slots[r] + 1
+        return slots
+
+    r1 = slot_within(row_ts)          # row within source tile after stage 1
+    r2 = slot_within(row_td)          # row within dest tile after stage 2
+
+    # ---- stage-1 per-tile permutations -----------------------------------
+    # element (in `order`) moves within src tile ts_o: from sp -> (r1, lane)
+    sp_o = sp[order]
+    dst1 = r1[row_id_of_elem] * Q + lane              # target pos within tile
+    # build full within-tile perms; unused slots self-map
+    perm1 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
+    used = np.zeros((T, TILE), dtype=bool)
+    perm1[ts_o, dst1] = sp_o
+    used[ts_o, dst1] = True
+    # unused slots must form a permutation too: map leftover dst slots to
+    # leftover src slots (both are the complements, same count per tile)
+    for t in range(T):
+        free_dst = np.flatnonzero(~used[t])
+        if len(free_dst):
+            used_src = np.zeros(TILE, dtype=bool)
+            used_src[sp_o[ts_o == t]] = True
+            free_src = np.flatnonzero(~used_src)
+            perm1[t, free_dst] = free_src
+
+    # ---- stage-2 global row sources --------------------------------------
+    rowsrc = np.zeros(T * Q, dtype=np.int64)
+    used_row = np.zeros(T * Q, dtype=bool)
+    g_dst_row = row_td * Q + r2
+    g_src_row = row_ts * Q + r1
+    rowsrc[g_dst_row] = g_src_row
+    used_row[g_dst_row] = True
+    rowsrc[~used_row] = np.flatnonzero(~used_row)     # idle rows self-map
+
+    # ---- stage-3 per-tile permutations -----------------------------------
+    # element now at (r2, lane) within dst tile td_o; must reach dp
+    src3 = r2[row_id_of_elem] * Q + lane
+    perm3 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
+    used3 = np.zeros((T, TILE), dtype=bool)
+    dp_o = dp[order]
+    perm3[td_o, dp_o] = src3
+    used3[td_o, dp_o] = True
+    for t in range(T):
+        free_dst = np.flatnonzero(~used3[t])
+        if len(free_dst):
+            used_src = np.zeros(TILE, dtype=bool)
+            used_src[src3[td_o == t]] = True
+            perm3[t, free_dst] = np.flatnonzero(~used_src)
+
+    # ---- per-tile G-T-G-T-G planes ---------------------------------------
+    def planes_for(perms):
+        g1 = np.zeros((T, Q, Q), dtype=np.int32)
+        g2 = np.zeros((T, Q, Q), dtype=np.int32)
+        g3 = np.zeros((T, Q, Q), dtype=np.int32)
+        for t in range(T):
+            p1, p2, p3 = plan_tile_permutation(perms[t])
+            g1[t], g2[t], g3[t] = p1, p2, p3
+        return g1, g2, g3
+
+    a1, a2, a3 = planes_for(perm1)
+    b1, b2, b3 = planes_for(perm3)
+    return PermutationPlan(
+        a1=jnp.asarray(a1), a2=jnp.asarray(a2), a3=jnp.asarray(a3),
+        rowsrc=jnp.asarray(rowsrc.astype(np.int32)),
+        b1=jnp.asarray(b1), b2=jnp.asarray(b2), b3=jnp.asarray(b3),
+        n=int(n),
+        real_per_tile=int(r_p),
+    )
+
+
+def _stage1_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
+    z = jnp.take_along_axis(x_ref[0], g1_ref[0], axis=1)
+    z = z.T
+    z = jnp.take_along_axis(z, g2_ref[0], axis=1)
+    z = z.T
+    o_ref[0] = jnp.take_along_axis(z, g3_ref[0], axis=1)
+
+
+def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
+    t = pl.program_id(0)
+
+    def stack8(s):
+        base = t * Q + s * 8
+        return jnp.stack([z_ref[rowsrc_ref[base + i], :] for i in range(8)])
+
+    z = jnp.concatenate([stack8(s) for s in range(Q // 8)], axis=0)
+    z = jnp.take_along_axis(z, g1_ref[0], axis=1)
+    z = z.T
+    z = jnp.take_along_axis(z, g2_ref[0], axis=1)
+    z = z.T
+    o_ref[0] = jnp.take_along_axis(z, g3_ref[0], axis=1)
+
+
+def apply_permutation(plan: PermutationPlan, x, *, interpret: bool = False):
+    """Apply a routed permutation to ``x`` (flat length ``plan.n``)."""
+    T = plan.ntiles
+    r_p = plan.real_per_tile
+    xf = jnp.reshape(x, (-1,))
+    if T * r_p != plan.n:
+        xf = jnp.pad(xf, (0, T * r_p - plan.n))
+    x2 = xf.reshape(T, r_p)
+    if r_p != TILE:
+        x2 = jnp.pad(x2, ((0, 0), (0, TILE - r_p)))
+    x2 = x2.reshape(T, Q, Q)
+    tile_spec = pl.BlockSpec((1, Q, Q), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    z = pl.pallas_call(
+        _stage1_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, Q, Q), x2.dtype),
+        grid=(T,),
+        in_specs=[tile_spec] * 4,
+        out_specs=tile_spec,
+        interpret=interpret,
+    )(x2, plan.a1, plan.a2, plan.a3)
+    out = pl.pallas_call(
+        _stage23_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, Q, Q), x2.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # rowsrc (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # z (full, rows)
+            tile_spec, tile_spec, tile_spec,
+        ],
+        out_specs=tile_spec,
+        interpret=interpret,
+    )(plan.rowsrc, z.reshape(T * Q, Q), plan.b1, plan.b2, plan.b3)
+    flat = out.reshape(T, TILE)[:, :r_p].reshape(-1)[: plan.n]
+    return flat.reshape(jnp.shape(x))
