@@ -12,8 +12,14 @@ large factors on the table.  Measured context (TPU v5e, f32):
 """
 
 from .ell_pallas import PackedELL, pack_ell, spmv_pallas, supports
+from .permute import (PermutationPlan, plan_permutation, apply_permutation,
+                      plan_tile_permutation, apply_tile_permutation)
+from .gpr import GPCSR, pack_gpr, spmv_gpr
 
 __all__ = ["PackedELL", "pack_ell", "spmv_pallas", "supports",
+           "PermutationPlan", "plan_permutation", "apply_permutation",
+           "plan_tile_permutation", "apply_tile_permutation",
+           "GPCSR", "pack_gpr", "spmv_gpr",
            "bench_pallas_sweep"]
 
 

@@ -157,6 +157,22 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                     return out if y is None else y + out
 
                 return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
+            # scattered pattern: the gather-permute-reduce pipeline handles
+            # arbitrary patterns at ~8x the XLA fallback (docs/DESIGN.md)
+            from ..kernels import gpr as _gpr
+
+            if _gpr.supports(mat.shape, stats.nnz):
+                gp = _gpr.pack_gpr(
+                    mat if hasattr(mat, "tocsr") else _host_coo(mat, dtype),
+                    dtype=dtype or np.float32,
+                )
+
+                def gpr_kernel(A, x, y=None):
+                    interp = jax.devices()[0].platform == "cpu"
+                    out = _gpr.spmv_gpr(A, x, interpret=interp)
+                    return out if y is None else y + out
+
+                return SpmvPlan(gp, "gpr", stats, gpr_kernel)
     if stats.block_fill_8 >= 0.25:
         return SpmvPlan(convert(_host_coo(mat, dtype), "bsr", block_size=8), "bsr", stats, kernel)
     if stats.ell_fill >= 0.25:
