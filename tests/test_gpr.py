@@ -58,3 +58,26 @@ def test_gpr_supports():
     assert gpr.supports((1000, 1000), 50_000)
     assert not gpr.supports((1000, 5_000_000), 50_000)
     assert not gpr.supports((1000, 1000), 10**7)
+
+
+def test_gpr_chunked():
+    mat = utils.random_sparse(2500, 2000, 0.04, seed=101).astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=50_000)
+    assert len(A.chunks) >= 3
+    x = jnp.asarray(np.random.default_rng(1).random(2000), jnp.float32)
+    y = gpr.spmv_gpr_chunked(A, x, interpret=True)
+    ref = mat @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5
+
+
+def test_gpr_chunked_single_chunk():
+    mat = utils.laplacian_2d(15, 15).astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat)
+    assert len(A.chunks) == 1
+    x = jnp.asarray(np.random.default_rng(2).random(mat.shape[1]), jnp.float32)
+    y = gpr.spmv_gpr_chunked(A, x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float64), mat @ np.asarray(x, np.float64),
+        rtol=2e-4, atol=1e-6,
+    )

@@ -16,9 +16,10 @@ giving each the layout it wants:
    MXU contraction, rows stay in natural order).
 
 Envelope: ``ncol <= 3M`` (x2d VMEM-resident) and ``nnz <= ~800k`` per
-matrix (single-level permutation routing); larger matrices chunk by row
-blocks (round-2 work).  Hub rows wider than the lane budget spill to a
-COO side matrix like ``ell_pallas``.
+permutation plan; :func:`pack_gpr_chunked` lifts the nnz cap by splitting
+rows into blocks with independent plans (outputs concatenate).  Hub rows
+wider than the lane budget spill to a COO side matrix (or recurse through
+GPR when routable).
 """
 
 from __future__ import annotations
@@ -36,7 +37,8 @@ from ..formats.base import sparse_dataclass, static_field
 from ..formats.coo import COO
 from . import permute as _perm
 
-__all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "supports"]
+__all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "GPCSRChunked",
+           "pack_gpr_chunked", "spmv_gpr_chunked", "supports"]
 
 LANES = 128
 K_CHOICES = (16, 8, 4, 2, 1)
@@ -288,3 +290,51 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
 
         y = spmv_coo(A.side, x.astype(A.vals.dtype), y=y)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Row-chunked GPR: arbitrary nnz via per-chunk plans
+# ---------------------------------------------------------------------------
+
+
+@sparse_dataclass
+class GPCSRChunked:
+    """Row-block-chunked GPR matrix: each chunk owns <= MAX_NNZ entries and
+    its own permutation plan; chunk outputs concatenate (row blocks are
+    contiguous).  Lifts the single-level routing cap to arbitrary nnz."""
+
+    chunks: tuple        # tuple of GPCSR (pytree children)
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+    row_splits: tuple[int, ...] = static_field()
+
+
+def pack_gpr_chunked(mat, *, dtype=np.float32,
+                     chunk_nnz: int = 700_000) -> GPCSRChunked:
+    """Pack a scipy CSR of any size: split rows into blocks of
+    ~``chunk_nnz`` entries, pack each independently."""
+    csr = mat.tocsr()
+    csr.sort_indices()
+    nrow, ncol = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    nnz = int(indptr[-1])
+    targets = np.arange(chunk_nnz, nnz, chunk_nnz)
+    cuts = np.searchsorted(indptr[1:], targets, side="left") + 1
+    splits = [0] + sorted(set(int(c) for c in cuts if 0 < c < nrow)) + [nrow]
+    chunks = []
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        chunks.append(pack_gpr(csr[lo:hi], dtype=dtype))
+    return GPCSRChunked(
+        chunks=tuple(chunks),
+        shape=(int(nrow), int(ncol)),
+        nnz=nnz,
+        row_splits=tuple(splits),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_gpr_chunked(A: GPCSRChunked, x: jax.Array, *,
+                     interpret: bool = False) -> jax.Array:
+    """``A @ x`` over row chunks; outputs concatenate in row order."""
+    parts = [spmv_gpr(c, x, interpret=interpret) for c in A.chunks]
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
