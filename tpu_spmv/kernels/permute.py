@@ -39,6 +39,31 @@ __all__ = ["color_bipartite", "plan_tile_permutation",
 Q = 128
 
 
+import ctypes as _ctypes
+import functools as _functools
+import os as _os
+
+
+@_functools.cache
+def _native_router():
+    for path in (
+        _os.environ.get("TPU_SPMV_NATIVE_ROUTER", ""),
+        _os.path.join(_os.path.dirname(__file__), "..", "..", "native",
+                      "libpermute_router.so"),
+    ):
+        if path and _os.path.exists(path):
+            lib = _ctypes.CDLL(path)
+            lib.color_bipartite.restype = _ctypes.c_int
+            lib.color_bipartite.argtypes = [
+                _ctypes.POINTER(_ctypes.c_int32),
+                _ctypes.POINTER(_ctypes.c_int32),
+                _ctypes.c_int64, _ctypes.c_int32,
+                _ctypes.POINTER(_ctypes.c_int32),
+            ]
+            return lib
+    return None
+
+
 def color_bipartite(src: np.ndarray, dst: np.ndarray, q: int = Q) -> np.ndarray:
     """Proper q-edge-coloring of a bipartite multigraph with max degree <= q.
 
@@ -46,7 +71,24 @@ def color_bipartite(src: np.ndarray, dst: np.ndarray, q: int = Q) -> np.ndarray:
     [0, q)).  Returns a color per edge such that no two edges sharing a
     source or a destination get the same color.  Classic alternating-path
     (Vizing-for-bipartite) algorithm: O(E * path_length).
+
+    Uses the C++ router (``native/libpermute_router.so``) when built —
+    ~50x faster than the Python loop, which is the fallback.
     """
+    lib = _native_router()
+    if lib is not None:
+        s32 = np.ascontiguousarray(src, dtype=np.int32)
+        d32 = np.ascontiguousarray(dst, dtype=np.int32)
+        out = np.empty(len(s32), dtype=np.int32)
+        rc = lib.color_bipartite(
+            s32.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+            d32.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+            len(s32), q,
+            out.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise ValueError(f"a vertex has degree > {q}")
+        return out.astype(np.int64)
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     E = len(src)
