@@ -13,13 +13,18 @@ giving each the layout it wants:
    6.8 Gval/s, 52x XLA's gather).  The matrix VALUES never move at
    runtime: they are pre-permuted on the host at pack time.
 3. **Reduce** with the PSELL mask-dot (per-tile ``[8,128] @ [128,k]``
-   MXU contraction, rows stay in natural order).
+   MXU contraction).
+
+Rows are σ-grouped into **width classes** (lane budgets 8/16/32/64/128,
+rows per sublane 16/8/4/2/1): each class packs at its own density, so wide
+rows never force spills and narrow rows never waste lanes.  The reduce
+emits y in class-sorted row order; a second (tiny, nrow-sized) pass
+through the permutation engine restores natural order.  Only entries
+beyond 128 per row fall back to a COO side path.
 
 Envelope: ``ncol <= 3M`` (x2d VMEM-resident) and ``nnz <= ~800k`` per
 permutation plan; :func:`pack_gpr_chunked` lifts the nnz cap by splitting
-rows into blocks with independent plans (outputs concatenate).  Hub rows
-wider than the lane budget spill to a COO side matrix (or recurse through
-GPR when routable).
+rows into blocks with independent plans (outputs concatenate).
 """
 
 from __future__ import annotations
@@ -41,8 +46,11 @@ __all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "GPCSRChunked",
            "pack_gpr_chunked", "spmv_gpr_chunked", "supports"]
 
 LANES = 128
-K_CHOICES = (16, 8, 4, 2, 1)
+#: width-class lane budgets (rows per sublane = 128 // W)
+CLASS_W = (8, 16, 32, 64, 128)
 MAX_NNZ = 800_000
+#: tiles per grid step — 4KB per-tile blocks are DMA-overhead-bound
+TPS = 16
 
 
 @sparse_dataclass
@@ -52,22 +60,25 @@ class GPCSR:
     Leaves:
       gseg: ``[NS] int32`` x2d row per gather sublane.
       glidx: ``[NS, 128] int32`` lane index (col % 128) per gather slot.
-      plan: :class:`~tpu_spmv.kernels.permute.PermutationPlan` moving
-        gathered values into PSELL slot order.
-      vals: ``[T, 8, 128]`` pre-permuted values (zero padding).
-      side: COO overflow (hub rows).
-    Static: shape, nnz, rows-per-sublane k.
+      plan: permutation moving gathered values into class-major PSELL slots.
+      vals: ``[Ttot, 8, 128]`` pre-permuted values (class tile blocks
+        concatenated; zero padding).
+      yplan: permutation restoring class-sorted y to natural row order
+        (None when a single class keeps rows in order).
+      side: COO carrying only per-row tails beyond 128 entries.
+    Static: shape, nnz, and per-class layout
+      ``class_tiles = ((W, T, rows), ...)`` for nonempty classes in order.
     """
 
     gseg: jax.Array
     glidx: jax.Array
     plan: _perm.PermutationPlan
     vals: jax.Array
-    side: COO                      # residual overflow (small; XLA path)
-    side_gpr: object               # GPCSR | None — big spills recurse
+    yplan: object                  # PermutationPlan | None
+    side: COO
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
-    rows_per_sublane: int = static_field()
+    class_tiles: tuple = static_field()
 
     @property
     def ntiles(self) -> int:
@@ -77,17 +88,12 @@ class GPCSR:
     def nsub(self) -> int:
         return int(self.glidx.shape[0])
 
-    @property
-    def lane_width(self) -> int:
-        return LANES // self.rows_per_sublane
-
 
 def supports(shape, nnz) -> bool:
     return shape[1] <= 3_000_000 and nnz <= MAX_NNZ
 
 
-def pack_gpr(mat, *, dtype=np.float32, rows_per_sublane: int | None = None,
-             _depth: int = 0) -> GPCSR:
+def pack_gpr(mat, *, dtype=np.float32) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline."""
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
@@ -112,111 +118,99 @@ def pack_gpr(mat, *, dtype=np.float32, rows_per_sublane: int | None = None,
     row_ids = np.repeat(np.arange(nrow, dtype=np.int64), np.diff(indptr))
     counts = np.diff(indptr)
 
-    # ---- choose k (PSELL side) + spill hub rows --------------------------
-    # minimize permutation slot count (T*1024) plus a spill penalty — the
-    # single-level routing cap applies to SLOTS, so utilization dominates
-    if rows_per_sublane is None:
-        best_k, best_cost = 1, float("inf")
-        for cand in K_CHOICES:
-            W = LANES // cand
-            spill = nnz - int(np.minimum(counts, W).sum()) if nnz else 0
-            if nnz and spill > 0.10 * nnz:
-                continue
-            T_c = max(-(-nrow // (8 * cand)), 1)
-            cost = T_c * 8 * LANES + 4 * spill
-            if cost < best_cost:
-                best_k, best_cost = cand, cost
-        k = best_k
-    else:
-        k = int(rows_per_sublane)
-    W = LANES // k
-    offs = np.arange(nnz, dtype=np.int64) - indptr[row_ids]
-    main = offs < W
-    side_rows, side_cols, side_data = (row_ids[~main], cols[~main],
-                                       data[~main])
-    side_gpr = None
-    if len(side_rows) > max(20_000, 0.05 * nnz) and _depth < 2:
-        # big spills (wide rows on narrow-k packings) would crawl through
-        # the XLA fallback — try recursing (each level strips another W per
-        # row).  Very sparse side content can make the routed slot space
-        # infeasible; fall back to the COO path in that case.
-        import scipy.sparse as sp
+    # ---- width classes ----------------------------------------------------
+    cls = np.minimum(np.searchsorted(CLASS_W, counts), len(CLASS_W) - 1)
+    row_order = np.argsort(cls, kind="stable")       # class-major row order
+    sorted_pos = np.empty(nrow, dtype=np.int64)
+    sorted_pos[row_order] = np.arange(nrow)
+    cls_sorted = cls[row_order]
+    rows_per_class = np.bincount(cls, minlength=len(CLASS_W))
+    cstart = np.zeros(len(CLASS_W) + 1, dtype=np.int64)
+    np.cumsum(rows_per_class, out=cstart[1:])
 
-        side_mat = sp.csr_matrix(
-            (side_data, (side_rows, side_cols)), shape=(nrow, ncol)
-        )
-        try:
-            side_gpr = pack_gpr(side_mat, dtype=dtype, _depth=_depth + 1)
-            side_rows = side_cols = np.zeros(0, dtype=np.int64)
-            side_data = np.zeros(0, dtype=dtype)
-        except ValueError:
-            side_gpr = None
-    side = COO.from_arrays(side_rows, side_cols,
-                           np.asarray(side_data, dtype=dtype),
+    # entries beyond 128 per row spill to the COO side (rare tails)
+    offs = np.arange(nnz, dtype=np.int64) - indptr[row_ids]
+    main = offs < LANES
+    side = COO.from_arrays(row_ids[~main], cols[~main], data[~main],
                            (nrow, ncol), dtype=dtype)
     m_rows, m_cols, m_data, m_off = (row_ids[main], cols[main], data[main],
                                      offs[main])
     nm = len(m_rows)
 
+    # ---- per-class PSELL destination layout ------------------------------
+    class_tiles = []
+    tile_base = np.zeros(len(CLASS_W), dtype=np.int64)
+    Ttot = 0
+    for c, W in enumerate(CLASS_W):
+        rows_c = int(rows_per_class[c])
+        if rows_c == 0:
+            class_tiles.append((W, 0, 0))
+            continue
+        k_c = LANES // W
+        T_c = -(-rows_c // (8 * k_c))
+        tile_base[c] = Ttot
+        class_tiles.append((W, T_c, rows_c))
+        Ttot += T_c
+    Ttot = max(Ttot, 1)
+
+    e_cls = cls[m_rows]
+    W_e = np.asarray(CLASS_W)[e_cls]
+    k_e = LANES // W_e
+    lr = sorted_pos[m_rows] - cstart[e_cls]          # local row within class
+    d_lane = (lr % k_e) * W_e + m_off
+    d_sub = (lr // k_e) % 8
+    d_tile = tile_base[e_cls] + lr // (8 * k_e)
+    dst_flat = (d_tile * 8 + d_sub) * LANES + d_lane
+
+    vals_ps = np.zeros((Ttot, 8, LANES), dtype=data.dtype)
+    vals_ps[d_tile, d_sub, d_lane] = m_data
+
     # ---- gather-side layout: segment-grouped slots -----------------------
     seg_order = np.argsort(m_cols >> 7, kind="stable")
     seg_sorted = (m_cols >> 7)[seg_order]
-    # position within segment run; new sublane every 128 or at segment edge
     new_seg = np.ones(nm, dtype=bool)
     new_seg[1:] = seg_sorted[1:] != seg_sorted[:-1]
-    run_start = np.maximum.accumulate(
-        np.where(new_seg, np.arange(nm), 0))
+    run_start = np.maximum.accumulate(np.where(new_seg, np.arange(nm), 0))
     pos_in_seg = np.arange(nm) - run_start
-    gsub = np.zeros(nm, dtype=np.int64)          # gather sublane per entry
     glane = pos_in_seg % LANES
     new_sub = new_seg | (pos_in_seg % LANES == 0)
     gsub = np.cumsum(new_sub) - 1
     NS = int(gsub[-1]) + 1 if nm else 1
-    NS8 = -(-NS // 8) * 8                        # pad to whole 8-sublane tiles
+    NS8 = -(-NS // 8) * 8
     gseg = np.zeros(NS8, dtype=np.int32)
-    gseg[gsub[new_sub]] = seg_sorted[new_sub]
     glidx = np.zeros((NS8, LANES), dtype=np.int32)
-    glidx[gsub, glane] = (m_cols & 127)[seg_order]
+    if nm:
+        gseg[gsub[new_sub]] = seg_sorted[new_sub]
+        glidx[gsub, glane] = (m_cols & 127)[seg_order]
 
-    # ---- PSELL destination layout ---------------------------------------
-    T = max(-(-nrow // (8 * k)), 1)
-    d_lane = (m_rows % k) * W + m_off
-    d_sub = (m_rows // k) % 8
-    d_tile = m_rows // (8 * k)
-    dst_flat = (d_tile * 8 + d_sub) * LANES + d_lane     # in [0, T*1024)
-
-    vals_ps = np.zeros((T, 8, LANES), dtype=data.dtype)
-    vals_ps[d_tile, d_sub, d_lane] = m_data
-
-    # ---- permutation: gather slots -> PSELL slots ------------------------
-    N = max(NS8 * LANES, T * 8 * LANES)
-    src_flat = gsub * LANES + glane                      # in seg_order!
+    # ---- permutation: gather slots -> class-major PSELL slots ------------
+    N = max(NS8 * LANES, Ttot * 8 * LANES)
+    src_flat = gsub * LANES + glane
     perm = np.full(N, -1, dtype=np.int64)
-    # entry e (in seg_order) sits at src_flat[e]; its destination is
-    # dst_flat[seg_order[e]]
-    perm[dst_flat[seg_order]] = src_flat
+    if nm:
+        perm[dst_flat[seg_order]] = src_flat
     free_dst = np.flatnonzero(perm < 0)
     used_src = np.zeros(N, dtype=bool)
     used_src[src_flat] = True
     perm[free_dst] = np.flatnonzero(~used_src)[: len(free_dst)]
     plan = _perm.plan_permutation(perm)
 
+    # ---- y reordering (class-sorted -> natural) --------------------------
+    yplan = None
+    if not np.array_equal(row_order, np.arange(nrow)):
+        yplan = _perm.plan_permutation(sorted_pos)
+
     return GPCSR(
         gseg=jnp.asarray(gseg),
         glidx=jnp.asarray(glidx),
         plan=plan,
         vals=jnp.asarray(vals_ps),
+        yplan=yplan,
         side=side,
-        side_gpr=side_gpr,
         shape=(int(nrow), int(ncol)),
         nnz=int(nnz),
-        rows_per_sublane=k,
+        class_tiles=tuple(class_tiles),
     )
-
-
-#: tiles per grid step — 4KB per-tile blocks are DMA-overhead-bound, so
-#: batch them (measured ~0.4us/tile at 1 tile/step).
-TPS = 16
 
 
 def _gather_kernel(gseg_ref, glidx_ref, x_ref, o_ref, *, tps):
@@ -244,9 +238,41 @@ def _reduce_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps):
     lax.fori_loop(0, tps, body, 0)
 
 
+def _batched_reduce(vals, g3, k, interpret):
+    """Per-tile mask-dot over a [T, 8, 128] block stack → [T, 8, k]."""
+    T = vals.shape[0]
+    W = LANES // k
+    lane_ids = np.arange(LANES) // W
+    mask = jnp.asarray(
+        (lane_ids[:, None] == np.arange(k)[None, :]), dtype=vals.dtype
+    )
+    tps = min(TPS, T)
+    steps = -(-T // tps)
+    Tpad = steps * tps
+    if Tpad != T:
+        vals = jnp.pad(vals, ((0, Tpad - T), (0, 0), (0, 0)))
+        g3 = jnp.pad(g3, ((0, Tpad - T), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_reduce_kernel, tps=tps),
+        out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), vals.dtype),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tps, 8, k), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vals, g3, mask)
+    return out[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """``A @ x`` via gather -> permute -> reduce."""
+    """``A @ x`` via gather -> permute -> per-class reduce -> y reorder."""
     nrow, ncol = A.shape
     S = -(-ncol // LANES)
     xpad = jnp.pad(x, (0, S * LANES - ncol)) if S * LANES != ncol else x
@@ -275,47 +301,36 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
         out_specs=pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(gseg_pad, glidx3, x2d)
-    gathered = gathered[:NT]
+    )(gseg_pad, glidx3, x2d)[:NT]
 
     flat = gathered.reshape(-1)
     if A.plan.n > flat.shape[0]:
         flat = jnp.pad(flat, (0, A.plan.n - flat.shape[0]))
     permuted = _perm.apply_permutation(A.plan, flat, interpret=interpret)
 
-    T = A.ntiles
-    k = A.rows_per_sublane
-    W = A.lane_width
-    lane_ids = np.arange(LANES) // W
-    mask = jnp.asarray(
-        (lane_ids[:, None] == np.arange(k)[None, :]), dtype=A.vals.dtype
-    )
-    g3 = permuted[: T * 8 * LANES].reshape(T, 8, LANES)
-    r_tps = min(TPS, T)
-    r_steps = -(-T // r_tps)
-    Tpad = r_steps * r_tps
-    vals3 = A.vals
-    if Tpad != T:
-        vals3 = jnp.pad(vals3, ((0, Tpad - T), (0, 0), (0, 0)))
-        g3 = jnp.pad(g3, ((0, Tpad - T), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(_reduce_kernel, tps=r_tps),
-        out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), A.vals.dtype),
-        grid=(r_steps,),
-        in_specs=[
-            pl.BlockSpec((r_tps, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tps, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r_tps, 8, k), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(vals3, g3, mask)
-    y = out.reshape(-1)[:nrow]   # padding tiles sit past T*8*k >= nrow
-    if A.side_gpr is not None:
-        y = y + spmv_gpr(A.side_gpr, x, interpret=interpret)
+    # per-class reductions over the concatenated tile blocks
+    Ttot = A.ntiles
+    g3 = permuted[: Ttot * 8 * LANES].reshape(Ttot, 8, LANES)
+    parts = []
+    off = 0
+    for W, T_c, rows_c in A.class_tiles:
+        if T_c == 0:
+            continue
+        k_c = LANES // W
+        out_c = _batched_reduce(A.vals[off: off + T_c],
+                                g3[off: off + T_c], k_c, interpret)
+        parts.append(out_c.reshape(-1)[:rows_c])
+        off += T_c
+    y_sorted = (jnp.concatenate(parts) if len(parts) > 1
+                else (parts[0] if parts else jnp.zeros(nrow, A.vals.dtype)))
+    if y_sorted.shape[0] < nrow:
+        y_sorted = jnp.pad(y_sorted, (0, nrow - y_sorted.shape[0]))
+
+    # restore natural row order
+    if A.yplan is not None:
+        y = _perm.apply_permutation(A.yplan, y_sorted, interpret=interpret)
+    else:
+        y = y_sorted
     if A.side.nnz:
         from ..ops.spmv import spmv_coo
 
