@@ -76,6 +76,7 @@ class GPCSR:
     vals: jax.Array
     yplan: object                  # PermutationPlan | None
     side: COO
+    side_gpr: object               # GPCSR | None — >128-per-row tails
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
     class_tiles: tuple = static_field()
@@ -93,7 +94,7 @@ def supports(shape, nnz) -> bool:
     return shape[1] <= 3_000_000 and nnz <= MAX_NNZ
 
 
-def pack_gpr(mat, *, dtype=np.float32) -> GPCSR:
+def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline."""
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
@@ -128,11 +129,29 @@ def pack_gpr(mat, *, dtype=np.float32) -> GPCSR:
     cstart = np.zeros(len(CLASS_W) + 1, dtype=np.int64)
     np.cumsum(rows_per_class, out=cstart[1:])
 
-    # entries beyond 128 per row spill to the COO side (rare tails)
+    # entries beyond 128 per row spill: recurse (each level strips another
+    # 128 per row; σ-class compaction keeps sparse tails routable) or fall
+    # to the COO path when tiny
     offs = np.arange(nnz, dtype=np.int64) - indptr[row_ids]
     main = offs < LANES
-    side = COO.from_arrays(row_ids[~main], cols[~main], data[~main],
-                           (nrow, ncol), dtype=dtype)
+    t_rows, t_cols, t_data = row_ids[~main], cols[~main], data[~main]
+    side_gpr = None
+    # measured crossover: below ~60k tail entries the COO path's
+    # ~8ns/entry beats a nested pipeline's fixed ~0.4ms overhead
+    if len(t_rows) > 60_000 and _depth < 4:
+        import scipy.sparse as sp
+
+        try:
+            side_gpr = pack_gpr(
+                sp.csr_matrix((t_data, (t_rows, t_cols)),
+                              shape=(nrow, ncol)),
+                dtype=dtype, _depth=_depth + 1,
+            )
+            t_rows = t_cols = np.zeros(0, dtype=np.int64)
+            t_data = np.zeros(0, dtype=dtype)
+        except ValueError:
+            side_gpr = None
+    side = COO.from_arrays(t_rows, t_cols, t_data, (nrow, ncol), dtype=dtype)
     m_rows, m_cols, m_data, m_off = (row_ids[main], cols[main], data[main],
                                      offs[main])
     nm = len(m_rows)
@@ -207,6 +226,7 @@ def pack_gpr(mat, *, dtype=np.float32) -> GPCSR:
         vals=jnp.asarray(vals_ps),
         yplan=yplan,
         side=side,
+        side_gpr=side_gpr,
         shape=(int(nrow), int(ncol)),
         nnz=int(nnz),
         class_tiles=tuple(class_tiles),
@@ -331,6 +351,8 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
         y = _perm.apply_permutation(A.yplan, y_sorted, interpret=interpret)
     else:
         y = y_sorted
+    if A.side_gpr is not None:
+        y = y + spmv_gpr(A.side_gpr, x, interpret=interpret)
     if A.side.nnz:
         from ..ops.spmv import spmv_coo
 
