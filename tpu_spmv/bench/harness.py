@@ -46,7 +46,8 @@ _NAMES = {COO: "COO", CSR: "CSR", CSC: "CSC", ELL: "ELL", DIA: "DIA",
 
 def format_name(A) -> str:
     name = _NAMES.get(type(A), type(A).__name__)
-    return "PSELL" if name == "PackedELL" else name
+    return {"PackedELL": "PSELL", "GPCSR": "GPR",
+            "GPCSRChunked": "GPR"}.get(name, name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,14 +118,18 @@ def time_fn(fn: Callable, *args, iters: int = DEFAULT_ITERS,
                         iters=iters)
 
 
-def verify_against_oracle(A, x, y, rtol: float = 1e-10) -> float:
+def verify_against_oracle(A, x, y, rtol: float = 1e-10,
+                          oracle=None) -> float:
     """Max relative error of ``y`` vs float64 scipy ``A @ x``.
 
     Raises if above ``rtol`` — the check the reference driver omitted
     (SURVEY.md Q1).  For float32 kernels a looser gate applies (the 1e-10
-    gate is a float64-semantics target; see BASELINE.md).
+    gate is a float64-semantics target; see BASELINE.md).  ``oracle`` may
+    supply the scipy matrix directly (packed formats that don't expose
+    ``to_coo``).
     """
-    sp_mat = to_coo(A).to_scipy().astype(np.float64)
+    sp_mat = (oracle.tocsr() if oracle is not None
+              else to_coo(A).to_scipy()).astype(np.float64)
     x64 = np.asarray(x, dtype=np.float64)
     y_ref = sp_mat @ x64
     y_np = np.asarray(y, dtype=np.float64)
@@ -141,24 +146,28 @@ def verify_against_oracle(A, x, y, rtol: float = 1e-10) -> float:
 
 def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
                check: bool = True, quiet: bool = False,
-               spmv_fn: Callable | None = None) -> dict:
+               spmv_fn: Callable | None = None, oracle=None) -> dict:
     """Benchmark one format's SpMV; print the reference protocol line.
 
     Returns a dict with gflops / seconds / roofline fraction / rel error.
+    ``oracle`` optionally supplies the host scipy matrix (required for
+    packed formats without ``to_coo``).
     """
     base_fn = spmv_fn or spmv
     fn = jax.jit(base_fn)
-    rel = verify_against_oracle(A, x, fn(A, x)) if check else float("nan")
+    rel = (verify_against_oracle(A, x, fn(A, x), oracle=oracle)
+           if check else float("nan"))
     nrow, ncol = A.shape
     if nrow == ncol:
         # chained timing (see time_chained): iterate v' = (A v) / ||A||_inf
         # so the dependent chain stays bounded without a per-step reduction
-        inf_norm = float(np.abs(to_coo(A).to_scipy()).sum(axis=1).max())
+        host = oracle if oracle is not None else to_coo(A).to_scipy()
+        inf_norm = float(np.abs(host).sum(axis=1).max())
         scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
         sec = time_chained(lambda v: base_fn(A, v) * scale, x, iters=iters)
     else:
         sec = time_fn(fn, A, x, iters=iters).best_s
-    nnz = to_coo(A).nnz if not hasattr(A, "nnz") else A.nnz
+    nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
     rf: Roofline = roofline(A, sec, nnz=nnz, x_dtype=x.dtype)
     name = format_name(A)
     if not quiet:

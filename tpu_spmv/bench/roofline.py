@@ -78,6 +78,21 @@ def spmv_bytes(A, x_dtype=None) -> int:
     if isinstance(A, PackedELL):
         idx_bytes = A.lidx.dtype.itemsize + A.rnd.dtype.itemsize
         return A.vals.size * (val + idx_bytes) + A.seg.size * 4 + vec
+    from ..kernels.gpr import GPCSR, GPCSRChunked
+
+    if isinstance(A, GPCSRChunked):
+        return sum(spmv_bytes(c, x_dtype) for c in A.chunks) + vec
+    if isinstance(A, GPCSR):
+        plane_bytes = sum(
+            int(p.size) * p.dtype.itemsize
+            for p in (A.plan.a1, A.plan.a2, A.plan.a3,
+                      A.plan.b1, A.plan.b2, A.plan.b3)
+        )
+        total = (A.vals.size * val + A.glidx.size * 4 + plane_bytes
+                 + A.vals.size * val)          # gathered+permuted temps
+        if A.side_gpr is not None:
+            total += spmv_bytes(A.side_gpr, x_dtype)
+        return total + vec
     raise TypeError(f"unsupported sparse type {type(A).__name__}")
 
 

@@ -152,7 +152,8 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             print(f"planner: strategy={plan.strategy}")
         results = [bench_spmv(plan.matrix, x, mode=f"{mode}-AUTO",
                               iters=args.iters, check=not args.no_check,
-                              quiet=args.json, spmv_fn=plan._kernel)]
+                              quiet=args.json, spmv_fn=plan._kernel,
+                              oracle=host_mat)]
     elif args.pallas:
         from .kernels import bench_pallas_sweep
 

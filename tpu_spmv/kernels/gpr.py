@@ -89,6 +89,10 @@ class GPCSR:
     def nsub(self) -> int:
         return int(self.glidx.shape[0])
 
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
 
 def supports(shape, nnz) -> bool:
     return shape[1] <= 3_000_000 and nnz <= MAX_NNZ
@@ -375,6 +379,10 @@ class GPCSRChunked:
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
     row_splits: tuple[int, ...] = static_field()
+
+    @property
+    def dtype(self):
+        return self.chunks[0].dtype
 
 
 def pack_gpr_chunked(mat, *, dtype=np.float32,

@@ -150,7 +150,16 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                 packed = ell_pallas.pack_ell(source, max_rounds=48, dtype=dtype)
             except ValueError:
                 packed = None
-            if packed is not None and packed.shape[1] <= 3_000_000:
+            from ..kernels import gpr as _gpr
+
+            # rough measured cost models (seconds): the lane-gather kernel
+            # pays ~60-110ns per tile-round; GPR pays ~0.8ns per entry plus
+            # a ~250us fixed pipeline cost
+            pallas_est = (packed.ntiles * packed.rounds * 80e-9
+                          if packed is not None else float("inf"))
+            gpr_est = (stats.nnz * 0.8e-9 + 250e-6
+                       if _gpr.supports(mat.shape, stats.nnz) else float("inf"))
+            if packed is not None and pallas_est <= gpr_est:
                 def pallas_kernel(A, x, y=None):
                     interp = jax.devices()[0].platform == "cpu"
                     out = ell_pallas.spmv_pallas(A, x, interpret=interp)
@@ -158,10 +167,8 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
 
                 return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
             # scattered pattern: the gather-permute-reduce pipeline handles
-            # arbitrary patterns at ~8x the XLA fallback (docs/DESIGN.md)
-            from ..kernels import gpr as _gpr
-
-            if _gpr.supports(mat.shape, stats.nnz):
+            # arbitrary patterns at ~25x the XLA fallback (docs/DESIGN.md)
+            if gpr_est < float("inf"):
                 gp = _gpr.pack_gpr(
                     mat if hasattr(mat, "tocsr") else _host_coo(mat, dtype),
                     dtype=dtype or np.float32,
