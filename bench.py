@@ -77,7 +77,7 @@ def main() -> int:
 
     # correctness gate (the check the reference never ran — SURVEY.md Q1)
     y = jax.jit(lambda v: plan(v))(x)
-    rel = verify_against_oracle(A, x, y)
+    rel = verify_against_oracle(A, x, y, oracle=sp_mat)
     log(f"bench: correctness rel_err={rel:.2e} (gate 2e-5 for f32)")
 
     # chained timing: v' = (A v) / ||A||_inf
