@@ -43,15 +43,39 @@ def test_gpr_hub_spill():
 
 
 def test_gpr_nnz_cap():
+    # the cap applies to the MAIN (<=128-per-row) part: 128-wide rows whose
+    # total exceeds MAX_NNZ cannot be routed in one plan
     import scipy.sparse as sp
 
-    n = gpr.MAX_NNZ + 10
-    rows = np.arange(n, dtype=np.int64) // 1000
-    cols = np.arange(n, dtype=np.int64) % 1000
+    n = gpr.MAX_NNZ + 128
+    rows = np.arange(n, dtype=np.int64) // 128
+    cols = np.arange(n, dtype=np.int64) % 128
     m = sp.coo_matrix((np.ones(n, dtype=np.float32), (rows, cols)),
-                      shape=(int(rows[-1]) + 1, 1000)).tocsr()
+                      shape=(int(rows[-1]) + 1, 128)).tocsr()
     with pytest.raises(ValueError, match="chunk"):
         gpr.pack_gpr(m)
+
+
+def test_gpr_hub_row_packs():
+    # a single row heavier than MAX_NNZ must NOT fail the pack: only its
+    # first 128 entries are routed, the tail spills to the side path
+    # (ADVICE r1: pack_gpr_chunked isolates such rows into their own chunk)
+    import scipy.sparse as sp
+
+    ncol = 900_000
+    hub_cols = np.arange(gpr.MAX_NNZ + 1000, dtype=np.int64) % ncol
+    rows = np.concatenate([np.zeros(len(hub_cols), dtype=np.int64),
+                           np.array([1, 2], dtype=np.int64)])
+    cols = np.concatenate([hub_cols, np.array([5, 7], dtype=np.int64)])
+    m = sp.coo_matrix((np.ones(len(rows), dtype=np.float32), (rows, cols)),
+                      shape=(3, ncol)).tocsr()
+    m.sum_duplicates()
+    A = gpr.pack_gpr(m)
+    x = np.random.default_rng(3).random(ncol).astype(np.float32)
+    y = np.asarray(gpr.spmv_gpr(A, jnp.asarray(x), interpret=True))
+    y_ref = m.astype(np.float64) @ x.astype(np.float64)
+    rel = np.max(np.abs(y - y_ref)) / max(np.max(np.abs(y_ref)), 1e-300)
+    assert rel < 2e-5
 
 
 def test_gpr_supports():

@@ -34,7 +34,8 @@ from ..ops import spmv, spmm
 from .roofline import Roofline, roofline
 
 __all__ = ["TimingResult", "time_fn", "time_chained", "format_name",
-           "bench_spmv", "bench_format_sweep", "verify_against_oracle"]
+           "bench_spmv", "bench_spmm", "bench_format_sweep",
+           "verify_against_oracle", "square_pad"]
 
 #: Number of timed iterations, matching the reference's NUM_TEST/NTESTS
 #: (`/root/reference/main.cpp:16`, `/root/reference/src/mat_vec.cpp:201`).
@@ -87,12 +88,19 @@ def time_chained(step_fn: Callable, v0, *, iters: int = 20,
 
     run_fenced(warm)          # compile short loop + warm the fence path
     run_fenced(warm + iters)  # compile long loop
-    t0 = time.perf_counter()
-    run_fenced(warm)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_fenced(warm + iters)
-    t_big = time.perf_counter() - t0
+
+    def best_of(k, repeats=3):
+        # min over repeats: jitter on the ~ms dispatch floor would otherwise
+        # leak straight into per-iter times for fast kernels
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_fenced(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = best_of(warm)
+    t_big = best_of(warm + iters)
     return max((t_big - t_small) / iters, 1e-9)
 
 
@@ -118,6 +126,27 @@ def time_fn(fn: Callable, *args, iters: int = DEFAULT_ITERS,
                         iters=iters)
 
 
+def square_pad(A):
+    """Embed a rectangular operand in a square one with identical nnz.
+
+    Chained timing needs a shape-preserving step; zero rows/columns are
+    appended (no new nonzeros) so the per-iteration work — nnz products
+    plus max(nrow, ncol)-sized streams — is a faithful proxy for the
+    rectangular kernel.  Used wherever ``block_until_ready``-fenced
+    per-call timing would otherwise be the only option (it does not fence
+    on remote backends — see :func:`time_chained`).
+    """
+    nrow, ncol = A.shape
+    if nrow == ncol:
+        return A
+    n = max(nrow, ncol)
+    coo = to_coo(A)
+    sq = COO.from_arrays(np.asarray(coo.row), np.asarray(coo.col),
+                         np.asarray(coo.data), (n, n))
+    kwargs = {"block_size": A.block_size} if hasattr(A, "block_size") else {}
+    return convert(sq, type(A), **kwargs)
+
+
 def verify_against_oracle(A, x, y, rtol: float = 1e-10,
                           oracle=None) -> float:
     """Max relative error of ``y`` vs float64 scipy ``A @ x``.
@@ -135,7 +164,17 @@ def verify_against_oracle(A, x, y, rtol: float = 1e-10,
     y_np = np.asarray(y, dtype=np.float64)
     denom = max(float(np.max(np.abs(y_ref))), 1e-300)
     rel = float(np.max(np.abs(y_np - y_ref))) / denom
-    gate = rtol if np.asarray(y).dtype == np.float64 else max(rtol, 2e-5)
+    # gate scales with the compute dtype's precision: f64 gets the BASELINE
+    # 1e-10 target; bf16 SpMV carries ~1e-2 relative error by construction
+    dt = jnp.asarray(y).dtype
+    if dt == np.float64:
+        gate = rtol
+    elif dt == jnp.bfloat16:
+        gate = max(rtol, 2e-2)
+    elif dt == np.float16:
+        gate = max(rtol, 2e-3)
+    else:
+        gate = max(rtol, 2e-5)
     if rel > gate:
         raise AssertionError(
             f"{format_name(A)} SpMV verification failed: rel err {rel:.3e} "
@@ -158,15 +197,21 @@ def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
     rel = (verify_against_oracle(A, x, fn(A, x), oracle=oracle)
            if check else float("nan"))
     nrow, ncol = A.shape
+    # chained timing (see time_chained): iterate v' = (A v) / ||A||_inf
+    # so the dependent chain stays bounded without a per-step reduction.
+    # Rectangular operands are square-padded (same nnz) — per-call fencing
+    # is not trustworthy on remote backends, so everything chains.
+    host = oracle if oracle is not None else to_coo(A).to_scipy()
+    inf_norm = float(np.abs(host).sum(axis=1).max())
+    scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
     if nrow == ncol:
-        # chained timing (see time_chained): iterate v' = (A v) / ||A||_inf
-        # so the dependent chain stays bounded without a per-step reduction
-        host = oracle if oracle is not None else to_coo(A).to_scipy()
-        inf_norm = float(np.abs(host).sum(axis=1).max())
-        scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
         sec = time_chained(lambda v: base_fn(A, v) * scale, x, iters=iters)
     else:
-        sec = time_fn(fn, A, x, iters=iters).best_s
+        A_sq = square_pad(A)
+        n = A_sq.shape[0]
+        x_sq = jnp.pad(x, (0, n - x.shape[0])) if x.shape[0] < n else x
+        sec = time_chained(lambda v: base_fn(A_sq, v) * scale, x_sq,
+                           iters=iters)
     nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
     rf: Roofline = roofline(A, sec, nnz=nnz, x_dtype=x.dtype)
     name = format_name(A)
@@ -182,6 +227,46 @@ def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
         "bytes": rf.bytes,
         "bw_gbps": rf.bw_gbps,
         "roofline_fraction": rf.fraction,
+        "rel_err": rel,
+        "iters": iters,
+    }
+
+
+def bench_spmm(A, X, *, iters: int = DEFAULT_ITERS, check: bool = True,
+               quiet: bool = False, spmm_fn: Callable | None = None,
+               oracle=None) -> dict:
+    """Benchmark one format's SpMM (multi-RHS) with the chained protocol.
+
+    The chained step is ``V' = (A V) / ||A||_inf`` on ``[n, nrhs]`` blocks
+    (square-padded when rectangular) — never ``block_until_ready``-fenced
+    per-call loops, which measure dispatch on this backend.
+    """
+    from ..ops import spmm as _spmm_default
+
+    base_fn = spmm_fn or _spmm_default
+    nrhs = int(X.shape[1])
+    Y = jax.jit(base_fn)(A, X)
+    rel = (verify_against_oracle(A, X, Y, oracle=oracle)
+           if check else float("nan"))
+    host = oracle if oracle is not None else to_coo(A).to_scipy()
+    inf_norm = float(np.abs(host).sum(axis=1).max())
+    scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=X.dtype)
+    A_sq = square_pad(A)
+    n = A_sq.shape[0]
+    X_sq = jnp.pad(X, ((0, n - X.shape[0]), (0, 0))) if X.shape[0] < n else X
+    sec = time_chained(lambda V: base_fn(A_sq, V) * scale, X_sq, iters=iters)
+    nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
+    gflops = 2 * nnz * nrhs / sec / 1e9
+    name = format_name(A)
+    if not quiet:
+        print(f"### {name} SPMM{nrhs} GFLOPS = {gflops:.5f}")
+        print(f"    {name} SPMM{nrhs}: {sec * 1e3:.3f} ms/iter | "
+              f"rel_err={rel:.2e}")
+    return {
+        "format": name,
+        "mode": f"SPMM{nrhs}",
+        "gflops": gflops,
+        "seconds": sec,
         "rel_err": rel,
         "iters": iters,
     }

@@ -170,26 +170,17 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                                      quiet=args.json)
 
     if args.spmm > 0:
-        import numpy as _np
-
-        from .bench.harness import format_name, time_fn
+        from .bench.harness import bench_spmm
         from .formats import convert as _convert
-        from .ops import spmm as _spmm
 
         X = jnp.asarray(rng.random((coo.shape[1], args.spmm)), dtype=dtype)
         for name in formats:
             A = _convert(coo, name)
-            fn = jax.jit(_spmm)
-            Y = fn(A, X)
-            t = time_fn(fn, A, X, iters=max(args.iters // 5, 3))
-            gflops = 2 * coo.nnz * args.spmm / t.best_s / 1e9
-            line = {"format": format_name(A), "mode": f"SPMM{args.spmm}",
-                    "gflops": gflops, "seconds": t.best_s}
+            line = bench_spmm(A, X, iters=max(args.iters // 5, 3),
+                              check=not args.no_check, quiet=args.json,
+                              oracle=host_mat)
             if args.json:
                 results.append(line)
-            else:
-                print(f"### {format_name(A)} SPMM{args.spmm} GFLOPS = "
-                      f"{gflops:.5f}")
 
     if args.json:
         for r in results:

@@ -54,7 +54,9 @@ class MMHeader:
     symmetry: str        # "general" | "symmetric" | "skew-symmetric" | "hermitian"
     nrow: int
     ncol: int
-    nnz: int             # stored entries (pre-expansion); nrow*ncol for array
+    nnz: int             # stored entries (pre-expansion); for array format
+                         # nrow*ncol when general, packed-triangle count
+                         # (n(n+1)/2, or n(n-1)/2 skew) otherwise
 
 
 def _open(path_or_file, mode: str):
@@ -103,8 +105,51 @@ def read_header(f) -> MMHeader:
         if len(sizes) != 2:
             raise ValueError(f"bad array size line: {line.strip()!r}")
         nrow, ncol = (int(s) for s in sizes)
-        nnz = nrow * ncol
+        # array files with symmetry store only the packed lower triangle
+        # (column-major); skew-symmetric omits the diagonal (MM spec)
+        if symmetry == "general":
+            nnz = nrow * ncol
+        elif symmetry == "skew-symmetric":
+            nnz = nrow * (nrow - 1) // 2
+        else:
+            nnz = nrow * (nrow + 1) // 2
     return MMHeader(obj, fmt, field, symmetry, nrow, ncol, nnz)
+
+
+def _dense_from_array_vals(vals, nrow: int, ncol: int, symmetry: str):
+    """Reconstruct the full dense matrix from array-format body values.
+
+    ``general`` stores all ``nrow*ncol`` values column-major.  Non-general
+    symmetries store only the packed lower triangle column-major (for each
+    column ``j``: rows ``j..n-1``); ``skew-symmetric`` omits the diagonal.
+    Shared by the pure-Python and native parse paths so both agree.
+    """
+    vals = np.asarray(vals, dtype=np.float64)
+    if symmetry == "general":
+        if vals.size != nrow * ncol:
+            raise ValueError(
+                f"array body has {vals.size} values, expected {nrow * ncol}"
+            )
+        return vals.reshape(ncol, nrow).T  # column-major file order
+    if nrow != ncol:
+        raise ValueError(
+            f"{symmetry} array matrix must be square, got {nrow}x{ncol}"
+        )
+    n = nrow
+    skew = symmetry == "skew-symmetric"
+    expect = n * (n - 1) // 2 if skew else n * (n + 1) // 2
+    if vals.size != expect:
+        raise ValueError(
+            f"array body has {vals.size} values, expected {expect} "
+            f"(packed lower triangle, {symmetry})"
+        )
+    r, c = np.tril_indices(n, -1 if skew else 0)
+    order = np.lexsort((r, c))          # storage order: by column, then row
+    dense = np.zeros((n, n))
+    dense[r[order], c[order]] = vals
+    if skew:
+        return dense - dense.T
+    return dense + np.tril(dense, -1).T
 
 
 def _expand_symmetry(row, col, val, symmetry: str):
@@ -159,15 +204,8 @@ def read_mtx_arrays(path_or_file, *, use_native: bool | None = None):
         body = f.read()
         if hdr.format == "array":
             vals = np.array(body.split(), dtype=np.float64)
-            if vals.size != hdr.nnz:
-                raise ValueError(
-                    f"array body has {vals.size} values, expected {hdr.nnz}"
-                )
-            dense = vals.reshape(hdr.ncol, hdr.nrow).T  # column-major file order
-            if hdr.symmetry in ("symmetric", "hermitian"):
-                dense = np.tril(dense) + np.tril(dense, -1).T
-            elif hdr.symmetry == "skew-symmetric":
-                dense = np.tril(dense) - np.tril(dense, -1).T
+            dense = _dense_from_array_vals(vals, hdr.nrow, hdr.ncol,
+                                           hdr.symmetry)
             row, col = np.nonzero(dense)
             return row, col, dense[row, col], (hdr.nrow, hdr.ncol)
         # coordinate

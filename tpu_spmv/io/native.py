@@ -108,16 +108,22 @@ def read_mtx_arrays_native(path):
             ):
                 raise ValueError("matrix entry index out of declared bounds")
             return rows, cols, vals, (int(nrow), int(ncol)), field, symmetry
-        # array format
-        vals = np.empty(nnz, dtype=np.float64)
+        # array format — the C++ tier only tokenizes (reads at most
+        # nrow*ncol values, its internal cap); the symmetric packed-triangle
+        # reconstruction lives in one place, mmio._dense_from_array_vals,
+        # so both parse paths agree.  Symmetry is returned as "general"
+        # because the dense reconstruction already expanded it — the caller
+        # must not mirror again (that double-counted off-diagonals before).
+        from .mmio import _dense_from_array_vals
+
+        vals = np.empty(int(nnz), dtype=np.float64)
         got = lib.mtx_read_array(
             handle, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         )
-        if got != nnz:
-            raise ValueError(f"array body has {got} values, expected {nnz}")
-        dense = vals.reshape(int(ncol), int(nrow)).T
+        dense = _dense_from_array_vals(vals[:got], int(nrow), int(ncol),
+                                       symmetry)
         row, col = np.nonzero(dense)
         return (row, col, dense[row, col], (int(nrow), int(ncol)), field,
-                symmetry)
+                "general")
     finally:
         lib.mtx_close(handle)

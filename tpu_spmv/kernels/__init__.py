@@ -40,25 +40,23 @@ def bench_pallas_sweep(coo, x, *, formats=("ell",), iters=50, check=True,
             if not quiet:
                 print(f"    (no pallas kernel for {name}; skipping)")
             continue
-        ell = convert(coo, "ell")
+        # rectangular inputs are square-padded up front (same nnz): the
+        # chained protocol needs a shape-preserving step, and per-call
+        # fencing is not trustworthy on remote backends
+        from ..bench.harness import square_pad
+
+        ell = square_pad(convert(coo, "ell"))
+        n = ell.shape[0]
+        import jax.numpy as jnp
+
+        xs = x if x.shape[0] == n else jnp.pad(x, (0, n - x.shape[0]))
         packed = pack_ell(ell)
         fn = lambda v: spmv_pallas(packed, v)
-        rel = verify_against_oracle(ell, x, fn(x)) if check else float("nan")
+        rel = verify_against_oracle(ell, xs, fn(xs)) if check else float("nan")
         sp_mat = ell.to_coo().to_scipy()
-        if sp_mat.shape[0] == sp_mat.shape[1]:
-            scale = np.asarray(1.0 / max(abs(sp_mat).sum(axis=1).max(), 1e-300),
-                               dtype=x.dtype)
-            sec = time_chained(lambda v: fn(v) * scale, x, iters=iters)
-        else:
-            import time as _t
-
-            out = fn(x)
-            jax.block_until_ready(out)
-            t0 = _t.perf_counter()
-            for _ in range(iters):
-                out = fn(x)
-            jax.block_until_ready(out)
-            sec = (_t.perf_counter() - t0) / iters
+        scale = np.asarray(1.0 / max(abs(sp_mat).sum(axis=1).max(), 1e-300),
+                           dtype=x.dtype)
+        sec = time_chained(lambda v: fn(v) * scale, xs, iters=iters)
         rf = roofline(ell, sec, nnz=packed.nnz, x_dtype=x.dtype)
         if not quiet:
             print(f"### ELL PALLAS GFLOPS = {rf.gflops:.5f}")

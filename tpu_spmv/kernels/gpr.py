@@ -118,8 +118,15 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
         indptr = np.zeros(nrow + 1, dtype=np.int64)
         np.cumsum(counts0, out=indptr[1:])
     nnz = len(cols)
-    if nnz > MAX_NNZ:
-        raise ValueError(f"nnz={nnz} > {MAX_NNZ}: chunk by row blocks")
+    # the routing cap applies to the MAIN (<=128-per-row) part — tails
+    # beyond 128/row spill to side_gpr/COO below, so a few huge hub rows
+    # don't disqualify the whole pack (ADVICE r1: single-row chunks from
+    # pack_gpr_chunked must not fail here)
+    main_nnz = int(np.minimum(np.diff(indptr), LANES).sum())
+    if main_nnz > MAX_NNZ:
+        raise ValueError(
+            f"main nnz={main_nnz} > {MAX_NNZ}: chunk by row blocks"
+        )
     row_ids = np.repeat(np.arange(nrow, dtype=np.int64), np.diff(indptr))
     counts = np.diff(indptr)
 
@@ -394,9 +401,18 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
     nrow, ncol = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     nnz = int(indptr[-1])
-    targets = np.arange(chunk_nnz, nnz, chunk_nnz)
-    cuts = np.searchsorted(indptr[1:], targets, side="left") + 1
-    splits = [0] + sorted(set(int(c) for c in cuts if 0 < c < nrow)) + [nrow]
+    # greedy cuts BEFORE the row that crosses the target (never after —
+    # overshoot past MAX_NNZ used to fail the whole pack, ADVICE r1); a
+    # single row heavier than chunk_nnz becomes its own chunk, whose >128
+    # tail spills to the side path inside pack_gpr
+    splits = [0]
+    lo = 0
+    while lo < nrow:
+        hi = int(np.searchsorted(indptr, indptr[lo] + chunk_nnz,
+                                 side="right")) - 1
+        hi = min(max(hi, lo + 1), nrow)
+        splits.append(hi)
+        lo = hi
     chunks = []
     for lo, hi in zip(splits[:-1], splits[1:]):
         chunks.append(pack_gpr(csr[lo:hi], dtype=dtype))

@@ -33,7 +33,22 @@ import numpy as np
 from ..formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo
 from .spmv import spmv
 
-__all__ = ["SpmvPlan", "analyze", "plan_spmv"]
+__all__ = ["SpmvPlan", "analyze", "plan_spmv",
+           "pallas_ell_cost_s", "gpr_cost_s"]
+
+
+def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
+    """Measured per-SpMV cost model of the Pallas packed-ELL kernel:
+    ~80ns per tile-round (lane-gather + select + loop bound; on-chip
+    measurement, docs/DESIGN.md)."""
+    return ntiles * rounds * 80e-9
+
+
+def gpr_cost_s(nnz: int) -> float:
+    """Measured per-SpMV cost model of the GPR pipeline: ~0.8ns per entry
+    (gather+permute+reduce streams) plus a ~250us fixed pipeline cost
+    (kernel launches + y reorder; on-chip measurement, docs/DESIGN.md)."""
+    return nnz * 0.8e-9 + 250e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,9 +67,13 @@ class PatternStats:
 
 
 def _host_coo(mat, dtype=None):
-    """A COO whose leaves stay host numpy — planning must not round-trip
+    """A COO whose leaves are host numpy — planning must not round-trip
     the device (readbacks are slow on tunneled backends).  Valid input to
-    every conversion (they np.asarray their inputs)."""
+    every conversion (they np.asarray their inputs).
+
+    Device-format inputs are pulled to host ONCE here (with a warning) so
+    analyze/convert/pack never re-read device leaves; prefer passing the
+    scipy/host matrix to :func:`plan_spmv` directly."""
     from ..formats.coo import COO
 
     if hasattr(mat, "tocoo") and not isinstance(mat, COO):
@@ -63,6 +82,18 @@ def _host_coo(mat, dtype=None):
         return COO(row=m.row.astype(np.int64), col=m.col.astype(np.int64),
                    data=data, shape=m.shape, rows_sorted=False)
     coo = to_coo(mat)
+    import jax
+
+    if any(isinstance(l, jax.Array) for l in (coo.row, coo.col, coo.data)):
+        import warnings
+
+        warnings.warn(
+            "plan_spmv received a device-resident matrix; pulling it to "
+            "host once for planning (pass the scipy/host matrix to avoid "
+            "the transfer)", stacklevel=3)
+        coo = COO(row=np.asarray(coo.row), col=np.asarray(coo.col),
+                  data=np.asarray(coo.data), shape=coo.shape,
+                  rows_sorted=coo.rows_sorted)
     return coo if dtype is None else coo.astype(dtype)
 
 
@@ -110,8 +141,9 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
     Heuristics (thresholds chosen from measured TPU costs: shifts >> block
     DMA >> 2-D gather >> scatter/segment paths):
 
-    - DIA when the diagonal count is small in absolute terms OR the DIA
-      storage (ndiags*nrow) does not exceed ~4x nnz;
+    - DIA when the DIA storage (ndiags*nrow) does not exceed ~4x nnz
+      (storage ratio only — few diagonals with sparse fill would still
+      inflate HBM traffic);
     - BSR when 8x8 blocks are at least quarter-full;
     - ELL when padding waste is bounded (fill >= 25%);
     - CSR otherwise.
@@ -122,8 +154,11 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
         return SpmvPlan(convert(_host_coo(mat, dtype), "csr"), "csr", stats, kernel)
     dia_storage = stats.ndiags * stats.nrow
     bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
-    if (stats.ndiags <= 64 or dia_storage <= 4 * stats.nnz) and \
-            dia_storage <= bdia_storage:
+    # storage ratio is the ONLY criterion: DIA runs at stream speed, so the
+    # 4x byte inflation cap bounds the slowdown vs a perfect format at 4x;
+    # a bare ndiags<=64 arm would admit 64-diag matrices at 5 nnz/row
+    # (12.8x the bytes) — strictly slower on an HBM-bound kernel
+    if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
         return SpmvPlan(convert(_host_coo(mat, dtype), "dia"), "dia", stats, kernel)
     if bdia_storage <= 4 * stats.nnz:
         # block-banded (structured PDE): gather-free block-diagonal einsum
@@ -152,12 +187,9 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                 packed = None
             from ..kernels import gpr as _gpr
 
-            # rough measured cost models (seconds): the lane-gather kernel
-            # pays ~60-110ns per tile-round; GPR pays ~0.8ns per entry plus
-            # a ~250us fixed pipeline cost
-            pallas_est = (packed.ntiles * packed.rounds * 80e-9
+            pallas_est = (pallas_ell_cost_s(packed.ntiles, packed.rounds)
                           if packed is not None else float("inf"))
-            gpr_est = (stats.nnz * 0.8e-9 + 250e-6
+            gpr_est = (gpr_cost_s(stats.nnz)
                        if _gpr.supports(mat.shape, stats.nnz) else float("inf"))
             if packed is not None and pallas_est <= gpr_est:
                 def pallas_kernel(A, x, y=None):
