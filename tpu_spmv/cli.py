@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="let the strategy planner pick the execution format")
     p.add_argument("--spmm", type=int, metavar="NRHS", default=0,
                    help="also benchmark SpMM with NRHS right-hand sides")
+    p.add_argument("--cache", metavar="DIR", default=None,
+                   help="with --auto: cache the packed/converted matrix in "
+                        "DIR so a second run on the same input skips "
+                        "analysis and packing entirely")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
@@ -144,10 +148,38 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
 
     if args.auto:
         from .bench import bench_spmv
-        from .ops.auto import plan_spmv
+        from .ops.auto import plan_from_matrix, plan_spmv
 
-        # plan from the host-side matrix: planning/packing stays off-device
-        plan = plan_spmv(host_mat, dtype=dtype)
+        plan = None
+        cache_file = None
+        if args.cache:
+            import hashlib
+            import os
+
+            src = args.synthetic or os.path.abspath(args.matrix)
+            if args.matrix:
+                src += f":{os.path.getmtime(args.matrix)}"
+            key = hashlib.sha1(f"{src}|{args.dtype}".encode()).hexdigest()[:16]
+            os.makedirs(args.cache, exist_ok=True)
+            cache_file = os.path.join(args.cache, f"plan_{key}.npz")
+            if os.path.exists(cache_file):
+                from .io.checkpoint import load_matrix
+
+                A, extra = load_matrix(cache_file, with_extra=True)
+                plan = plan_from_matrix(A, extra["strategy"])
+                if not args.json:
+                    print(f"planner: reloaded {extra['strategy']} pack "
+                          f"from {cache_file} (no re-analysis)")
+        if plan is None:
+            # plan from the host-side matrix: packing stays off-device
+            plan = plan_spmv(host_mat, dtype=dtype)
+            if cache_file:
+                from .io.checkpoint import save_matrix
+
+                save_matrix(cache_file, plan.matrix,
+                            extra={"strategy": plan.strategy})
+                if not args.json:
+                    print(f"planner: cached pack to {cache_file}")
         if not args.json:
             print(f"planner: strategy={plan.strategy}")
         results = [bench_spmv(plan.matrix, x, mode=f"{mode}-AUTO",

@@ -33,7 +33,7 @@ import numpy as np
 from ..formats import COO, CSR, CSC, ELL, DIA, BSR, convert, to_coo
 from .spmv import spmv
 
-__all__ = ["SpmvPlan", "analyze", "plan_spmv",
+__all__ = ["SpmvPlan", "analyze", "plan_spmv", "plan_from_matrix",
            "pallas_ell_cost_s", "gpr_cost_s"]
 
 
@@ -127,11 +127,47 @@ class SpmvPlan:
 
     matrix: object              # the converted format instance
     strategy: str               # "dia" | "bdia" | "pallas_ell" | "bsr" | ...
-    stats: PatternStats
+    stats: PatternStats | None = None
     _kernel: Callable = spmv
 
     def __call__(self, x, y=None):
         return self._kernel(self.matrix, x, y)
+
+
+def _kernel_for_strategy(strategy: str) -> Callable:
+    """The SpMV callable matching a strategy name (shared by
+    :func:`plan_spmv` and cache reload via :func:`plan_from_matrix`)."""
+    import jax
+
+    if strategy == "pallas_ell":
+        from ..kernels import ell_pallas
+
+        def pallas_kernel(A, x, y=None):
+            interp = jax.devices()[0].platform == "cpu"
+            out = ell_pallas.spmv_pallas(A, x, interpret=interp)
+            return out if y is None else y + out
+
+        return pallas_kernel
+    if strategy == "gpr":
+        from ..kernels import gpr as _gpr
+
+        def gpr_kernel(A, x, y=None):
+            interp = jax.devices()[0].platform == "cpu"
+            fn = (_gpr.spmv_gpr_chunked
+                  if isinstance(A, _gpr.GPCSRChunked) else _gpr.spmv_gpr)
+            out = fn(A, x, interpret=interp)
+            return out if y is None else y + out
+
+        return gpr_kernel
+    return spmv
+
+
+def plan_from_matrix(matrix, strategy: str,
+                     stats: PatternStats | None = None) -> SpmvPlan:
+    """Rebuild an executable plan from an already-converted/packed matrix
+    (e.g. one reloaded via :mod:`tpu_spmv.io.checkpoint`) — skips analysis
+    and packing entirely, which is the point of the ``--cache`` CLI flag."""
+    return SpmvPlan(matrix, strategy, stats, _kernel_for_strategy(strategy))
 
 
 def plan_spmv(mat, *, use_pallas: bool | None = None,
@@ -192,12 +228,8 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
             gpr_est = (gpr_cost_s(stats.nnz)
                        if _gpr.supports(mat.shape, stats.nnz) else float("inf"))
             if packed is not None and pallas_est <= gpr_est:
-                def pallas_kernel(A, x, y=None):
-                    interp = jax.devices()[0].platform == "cpu"
-                    out = ell_pallas.spmv_pallas(A, x, interpret=interp)
-                    return out if y is None else y + out
-
-                return SpmvPlan(packed, "pallas_ell", stats, pallas_kernel)
+                return SpmvPlan(packed, "pallas_ell", stats,
+                                _kernel_for_strategy("pallas_ell"))
             # scattered pattern: the gather-permute-reduce pipeline handles
             # arbitrary patterns at ~25x the XLA fallback (docs/DESIGN.md)
             if gpr_est < float("inf"):
@@ -205,13 +237,8 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                     mat if hasattr(mat, "tocsr") else _host_coo(mat, dtype),
                     dtype=dtype or np.float32,
                 )
-
-                def gpr_kernel(A, x, y=None):
-                    interp = jax.devices()[0].platform == "cpu"
-                    out = _gpr.spmv_gpr(A, x, interpret=interp)
-                    return out if y is None else y + out
-
-                return SpmvPlan(gp, "gpr", stats, gpr_kernel)
+                return SpmvPlan(gp, "gpr", stats,
+                                _kernel_for_strategy("gpr"))
     if stats.block_fill_8 >= 0.25:
         return SpmvPlan(convert(_host_coo(mat, dtype), "bsr", block_size=8), "bsr", stats, kernel)
     if stats.ell_fill >= 0.25:
