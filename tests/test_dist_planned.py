@@ -1,0 +1,124 @@
+"""Planned distributed SpMV: fast local kernels (DIA/BDIA shifted FMAs)
+inside shard_map, plus the column-split reduce-scatter strategy — on the
+8-virtual-device CPU mesh (VERDICT r1 items 1 and 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_spmv as ts
+from tpu_spmv import dist, utils
+from tpu_spmv.formats import COO, convert
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return dist.make_mesh(8)
+
+
+def _global_spmv(plan, mesh, mat, x):
+    xs = plan.shard_x(x, dtype=np.float32)
+    y = plan.spmv(mesh, xs)
+    return y.to_global()
+
+
+def _ref(mat, x):
+    return mat.astype(np.float64) @ x.astype(np.float64)
+
+
+def _assert_close(y, ref):
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / max(
+        np.max(np.abs(ref)), 1e-300)
+    assert rel < 2e-5, rel
+
+
+def test_plan_dist_picks_dia(mesh, rng):
+    mat = utils.laplacian_2d(24, 24)          # 5-diagonal, square
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32)
+    assert plan.strategy == "dia"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_plan_dist_picks_bdia(mesh, rng):
+    mat = utils.block_laplacian(12, bs=8, seed=2)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32)
+    assert plan.strategy == "bdia"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_plan_dist_general_falls_back(mesh, rng):
+    mat = utils.random_sparse(300, 300, 0.03, seed=3)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32)
+    assert plan.strategy == "csr_halo"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_sharded_dia_one_device(rng):
+    # ndev=1 must degenerate to the single-chip DIA kernel exactly
+    mesh1 = dist.make_mesh(1)
+    mat = utils.banded(200, 4, seed=4)
+    plan = dist.plan_dist_spmv(mat, 1, dtype=np.float32, strategy="dia")
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    y = _global_spmv(plan, mesh1, mat, x)
+    _assert_close(y, _ref(mat, x))
+    # and match the non-distributed DIA kernel bit-for-bit
+    dia = convert(COO.from_scipy(mat.tocoo(), dtype=jnp.float32), "dia")
+    y1 = ts.spmv(dia, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1), rtol=1e-6)
+
+
+def test_sharded_dia_band_too_wide():
+    # band wider than the chunk: 1-hop halo cannot cover it
+    mat = utils.banded(64, 40, seed=5)
+    dia = convert(COO.from_scipy(mat.tocoo(), dtype=jnp.float32), "dia")
+    with pytest.raises(ValueError, match="band"):
+        dist.ShardedDIA.build(dia, 8)
+
+
+def test_sharded_dia_nonuniform_tail(mesh, rng):
+    # nrow not divisible by ndev: last shard is zero-padded
+    mat = utils.banded(203, 3, seed=6)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32, strategy="dia")
+    x = rng.random(203).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_colsplit_matches_oracle(mesh, rng):
+    # the CSC-NUMA analog WITH the reduction the reference forgot (Q5)
+    for gen, kw in [(utils.random_sparse, dict(seed=7)),
+                    (utils.power_law, dict(seed=8))]:
+        mat = (utils.random_sparse(300, 280, 0.03, seed=7)
+               if gen is utils.random_sparse
+               else utils.power_law(257, 300, 7, seed=8))
+        csr = convert(COO.from_scipy(mat.tocoo(), dtype=jnp.float32), "csr")
+        A = dist.ColShardedCSR.build(csr, 8)
+        x = rng.random(mat.shape[1]).astype(np.float32)
+        xs = dist.ShardedVector.from_global(x, A.col_plan)
+        y = dist.spmv_colsplit(mesh, A, xs)
+        _assert_close(y.to_global(), _ref(mat, x))
+
+
+def test_colsplit_nnz_balance():
+    mat = utils.power_law(500, 500, 9, seed=9).T.tocsr()  # column-skewed
+    csr = convert(COO.from_scipy(mat.tocoo()), "csr")
+    A = dist.ColShardedCSR.build(csr, 8, balance="nnz")
+    # nnz-balanced columns: no shard over 2x mean
+    counts = np.asarray([(np.asarray(A.data[i]) != 0).sum()
+                         for i in range(8)])
+    assert counts.max() <= max(2.0 * mat.nnz / 8, 64)
+
+
+def test_bench_dist_spmv(mesh, capsys):
+    from tpu_spmv.dist.planned import bench_dist_spmv
+
+    mat = utils.laplacian_2d(16, 16)
+    r = bench_dist_spmv(mat, mesh, dtype=np.float32, iters=3)
+    assert r["strategy"] == "dia"
+    assert r["rel_err"] < 2e-5
+    assert r["gflops"] > 0
+    out = capsys.readouterr().out
+    assert "### CSR DIST8 GFLOPS" in out

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="let the strategy planner pick the execution format")
     p.add_argument("--spmm", type=int, metavar="NRHS", default=0,
                    help="also benchmark SpMM with NRHS right-hand sides")
+    p.add_argument("--dist", type=int, metavar="NDEV", default=0,
+                   help="also benchmark the planned distributed SpMV over "
+                        "an NDEV-device mesh (requires NDEV <= available "
+                        "devices; square matrices only)")
     p.add_argument("--cache", metavar="DIR", default=None,
                    help="with --auto: cache the packed/converted matrix in "
                         "DIR so a second run on the same input skips "
@@ -213,6 +217,17 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                               oracle=host_mat)
             if args.json:
                 results.append(line)
+
+    if args.dist > 0:
+        from .dist import make_mesh
+        from .dist.planned import bench_dist_spmv
+
+        mesh = make_mesh(args.dist)
+        line = bench_dist_spmv(host_mat, mesh, dtype=dtype,
+                               iters=args.iters, check=not args.no_check,
+                               quiet=args.json)
+        if args.json:
+            results.append(line)
 
     if args.json:
         for r in results:

@@ -1,0 +1,393 @@
+"""Planner-chosen FAST local kernels inside ``shard_map``.
+
+The reference's whole point is that the partitioned path runs the *same
+fast kernel* per partition (the NUMA CSR thread body is the plain CSR loop,
+`/root/reference/src/mat_vec.cpp:507-530`).  Round 1's distributed layer
+instead ran every shard on the XLA segment-sum path — ~0.13 Gval/s, the
+exact kernel the cost model calls catastrophic (docs/DESIGN.md).  This
+module closes that gap: the distributed planner picks the same gather-free
+formulations the single-chip planner does (DIA > BDIA), shards them by
+row blocks, and runs the shifted-FMA local kernel inside ``shard_map``
+with a **neighbor-halo ring** instead of a full all-gather.
+
+Key layout decision: shards are *uniform* (``plan_uniform``) so that
+``global index = shard * C + local`` — then every diagonal's x window is a
+**static slice** of ``[left | own | right]`` neighbor chunks, and the local
+kernel compiles to exactly the single-chip DIA/BDIA code on a 3C-long x.
+Per-step traffic is 2 chunks over ICI (vs the all-gather's P-1), and both
+``ppermute`` transfers are issued before any FLOPs so XLA overlaps them
+with compute.
+
+Wrap-around garbage at ring edges is harmless by construction: DIA/BDIA
+``data`` is zero wherever the diagonal leaves the matrix, so the wrapped
+x values multiply zero.
+
+General patterns (no gather-free formulation) fall back to the
+``HaloCSR``/segment-sum path in :mod:`tpu_spmv.dist.spmv`; packing the
+per-shard GPR pipeline under SPMD needs uniform pack shapes across shards
+(future work, CLAUDE.md roadmap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..formats.base import sparse_dataclass, static_field
+from ..formats.dia import DIA
+from ..formats.bdia import BDIA
+from .partition import RowPlan, plan_uniform
+from .sharded import HaloCSR, ShardedVector
+
+__all__ = ["ShardedDIA", "ShardedBDIA", "spmv_dia_sharded",
+           "spmv_bdia_sharded", "DistPlan", "plan_dist_spmv",
+           "bench_dist_spmv"]
+
+
+@sparse_dataclass
+class ShardedDIA:
+    """Row-uniform-sharded DIA: shard ``s`` owns global rows
+    ``[s*R, (s+1)*R)`` (zero-padded past ``nrow``).
+
+    ``data[s, d, r] = A[s*R + r, s*R + r + offsets[d]]`` — the same zero
+    conventions as :class:`~tpu_spmv.formats.dia.DIA`, just row-sliced.
+    """
+
+    data: jax.Array                       # [ndev, ndiags, R]
+    offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+
+    @property
+    def ndev(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def rows_per_shard(self) -> int:
+        return int(self.data.shape[2])
+
+    @property
+    def row_plan(self) -> RowPlan:
+        return plan_uniform(self.shape[0], self.ndev)
+
+    # x must be sharded the same uniform way (square: C == R)
+    @property
+    def x_plan(self) -> RowPlan:
+        return plan_uniform(self.shape[1], self.ndev)
+
+    @staticmethod
+    def build(dia: DIA, ndev: int) -> "ShardedDIA":
+        nrow, ncol = dia.shape
+        if nrow != ncol:
+            raise ValueError("ShardedDIA requires a square matrix "
+                             "(halo windows assume row/col chunk parity)")
+        R = plan_uniform(nrow, ndev).max_count
+        band = max(max(abs(o) for o in dia.offsets), 0)
+        if band > R:
+            raise ValueError(
+                f"band {band} exceeds chunk size {R}: the 1-hop halo "
+                f"cannot cover it (use fewer devices or the CSR path)"
+            )
+        data = np.asarray(dia.data)                     # [ndiags, nrow]
+        pad = ndev * R - nrow
+        if pad:
+            data = np.pad(data, ((0, 0), (0, pad)))
+        stacked = np.transpose(
+            data.reshape(data.shape[0], ndev, R), (1, 0, 2)
+        )
+        return ShardedDIA(
+            data=jnp.asarray(stacked, dtype=dia.data.dtype),
+            offsets=dia.offsets,
+            shape=dia.shape,
+            nnz=dia.nnz,
+        )
+
+
+@sparse_dataclass
+class ShardedBDIA:
+    """Block-row-uniform-sharded BDIA: shard ``s`` owns block rows
+    ``[s*Rb, (s+1)*Rb)``; scalar chunk size is ``Rb * bs``."""
+
+    data: jax.Array                       # [ndev, ndiags, Rb, bs, bs]
+    offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+    block_size: int = static_field()
+    nnz: int = static_field()
+
+    @property
+    def ndev(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def blocks_per_shard(self) -> int:
+        return int(self.data.shape[2])
+
+    @property
+    def row_plan(self) -> RowPlan:
+        # scalar-row plan with C = Rb * bs (uniform by construction)
+        C = self.blocks_per_shard * self.block_size
+        starts = tuple(min(i * C, self.shape[0])
+                       for i in range(self.ndev + 1))
+        return RowPlan(starts, self.ndev, self.shape[0])
+
+    @property
+    def x_plan(self) -> RowPlan:
+        C = self.blocks_per_shard * self.block_size
+        starts = tuple(min(i * C, self.shape[1])
+                       for i in range(self.ndev + 1))
+        return RowPlan(starts, self.ndev, self.shape[1])
+
+    @staticmethod
+    def build(bdia: BDIA, ndev: int) -> "ShardedBDIA":
+        nrow, ncol = bdia.shape
+        if nrow != ncol:
+            raise ValueError("ShardedBDIA requires a square matrix")
+        data = np.asarray(bdia.data)          # [ndiags, nbrow, bs, bs]
+        nbrow = data.shape[1]
+        Rb = max(-(-nbrow // ndev), 1)
+        band = max(max(abs(o) for o in bdia.offsets), 0)
+        if band > Rb:
+            raise ValueError(
+                f"block band {band} exceeds block chunk {Rb}: 1-hop halo "
+                f"cannot cover it"
+            )
+        pad = ndev * Rb - nbrow
+        if pad:
+            data = np.pad(data, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        stacked = np.transpose(
+            data.reshape(data.shape[0], ndev, Rb, *data.shape[2:]),
+            (1, 0, 2, 3, 4),
+        )
+        return ShardedBDIA(
+            data=jnp.asarray(stacked, dtype=bdia.data.dtype),
+            offsets=bdia.offsets,
+            shape=bdia.shape,
+            block_size=bdia.block_size,
+            nnz=bdia.nnz,
+        )
+
+
+def _ring_window(x_own, axis: str, ndev: int):
+    """``[left | own | right]`` neighbor chunks — both transfers issued
+    before any compute so XLA's scheduler overlaps them with the FMAs."""
+    if ndev == 1:
+        return jnp.concatenate([x_own, x_own, x_own])
+    to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+    to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+    x_left = lax.ppermute(x_own, axis, to_right)   # receives left nbr's chunk
+    x_right = lax.ppermute(x_own, axis, to_left)   # receives right nbr's
+    return jnp.concatenate([x_left, x_own, x_right])
+
+
+def spmv_dia_sharded(mesh: Mesh, A: ShardedDIA, x: ShardedVector,
+                     *, axis: str = "x") -> ShardedVector:
+    """Row-sharded DIA SpMV: per-shard shifted FMAs over a 1-hop halo.
+
+    The local body is byte-for-byte the single-chip DIA kernel on a
+    ``[3C]`` x window — every diagonal is a *static* slice (global row
+    ``s*C + r`` reads ``x[s*C + r + off]`` = window position
+    ``C + r + off``), so XLA emits the same fused elementwise pass as the
+    non-distributed kernel; the ring transfers overlap it.
+    """
+    R = A.rows_per_shard
+    ndev = A.ndev
+    offsets = A.offsets
+
+    @functools.partial(
+        _shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(A_loc: ShardedDIA, x_loc: ShardedVector):
+        xw = _ring_window(x_loc.chunks[0], axis, ndev)      # [3C], C == R
+        y = jnp.zeros((R,), dtype=A_loc.data.dtype)
+        for d, off in enumerate(offsets):
+            y = y + A_loc.data[0, d] * lax.slice_in_dim(
+                xw, R + off, R + off + R)
+        return y[None]
+
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.row_plan.starts,
+                         length=A.shape[0])
+
+
+def spmv_bdia_sharded(mesh: Mesh, A: ShardedBDIA, x: ShardedVector,
+                      *, axis: str = "x") -> ShardedVector:
+    """Row-sharded BDIA SpMV: per-shard block-diagonal einsum (MXU/VPU)
+    over a 1-hop halo of block chunks."""
+    Rb = A.blocks_per_shard
+    bs = A.block_size
+    ndev = A.ndev
+    offsets = A.offsets
+
+    @functools.partial(
+        _shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(A_loc: ShardedBDIA, x_loc: ShardedVector):
+        xw = _ring_window(x_loc.chunks[0], axis, ndev)      # [3*Rb*bs]
+        xb = xw.reshape(3 * Rb, bs)
+        y = jnp.zeros((Rb, bs), dtype=A_loc.data.dtype)
+        for d, off in enumerate(offsets):
+            xs = lax.slice_in_dim(xb, Rb + off, Rb + off + Rb, axis=0)
+            y = y + jnp.einsum(
+                "nij,nj->ni", A_loc.data[0, d], xs,
+                preferred_element_type=A_loc.data.dtype,
+            )
+        return y.reshape(-1)[None]
+
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.row_plan.starts,
+                         length=A.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# The distributed planner
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistPlan:
+    """A chosen distributed execution strategy.
+
+    ``matrix`` is the sharded container; ``shard_x``/``unshard_y`` move
+    vectors between global host arrays and the mesh layout; ``spmv`` runs
+    one distributed SpMV.
+    """
+
+    matrix: object
+    strategy: str              # "dia" | "bdia" | "csr_halo"
+    x_plan: RowPlan
+    row_plan: RowPlan
+
+    def shard_x(self, x, dtype=None) -> ShardedVector:
+        return ShardedVector.from_global(np.asarray(x), self.x_plan,
+                                         dtype=dtype)
+
+    def spmv(self, mesh: Mesh, x: ShardedVector, *,
+             axis: str = "x") -> ShardedVector:
+        if self.strategy == "dia":
+            return spmv_dia_sharded(mesh, self.matrix, x, axis=axis)
+        if self.strategy == "bdia":
+            return spmv_bdia_sharded(mesh, self.matrix, x, axis=axis)
+        from .spmv import spmv_halo
+
+        return spmv_halo(mesh, self.matrix, x, axis=axis)
+
+
+def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
+                   strategy: str | None = None) -> DistPlan:
+    """Analyze on host, shard with the matching fast local kernel.
+
+    Same storage-ratio heuristics as the single-chip planner
+    (:func:`tpu_spmv.ops.auto.plan_spmv`): DIA/BDIA when the pattern is
+    (block-)banded enough to stream, else the bucketed ``HaloCSR``
+    segment-sum fallback.  ``strategy`` forces a choice.
+    """
+    from ..formats import convert
+    from ..formats.csr import CSR
+    from ..ops.auto import _host_coo, analyze
+
+    coo = _host_coo(host_mat, dtype)
+    stats = analyze(coo)
+    nrow, ncol = coo.shape
+    square = nrow == ncol
+
+    def try_dia():
+        dia = convert(coo, "dia")
+        sharded = ShardedDIA.build(dia, ndev)     # raises if band > chunk
+        return DistPlan(sharded, "dia", sharded.x_plan, sharded.row_plan)
+
+    def try_bdia():
+        bdia = convert(coo, "bdia", block_size=8)
+        sharded = ShardedBDIA.build(bdia, ndev)
+        return DistPlan(sharded, "bdia", sharded.x_plan, sharded.row_plan)
+
+    if strategy in ("dia", "bdia"):
+        return try_dia() if strategy == "dia" else try_bdia()
+    if strategy is None and square and stats.nnz:
+        dia_storage = stats.ndiags * stats.nrow
+        bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
+        if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
+            try:
+                return try_dia()
+            except ValueError:
+                pass
+        if bdia_storage <= 4 * stats.nnz:
+            try:
+                return try_bdia()
+            except ValueError:
+                pass
+    # general pattern: bucketed ring with segment-sum local compute
+    csr = convert(coo, "csr")
+    halo = HaloCSR.build(csr, ndev, square=square)
+    return DistPlan(halo, "csr_halo", halo.col_plan, halo.row_plan)
+
+
+def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
+                    check: bool = True, quiet: bool = False,
+                    axis: str = "x") -> dict:
+    """Benchmark the planned distributed SpMV over ``mesh`` with the
+    chained protocol (the ``dist_bench`` the round-1 review asked for).
+
+    Square matrices only: the chained step feeds y chunks back as x
+    chunks, which requires the row and column plans to coincide — true
+    for the dia/bdia strategies and for ``csr_halo`` built square.
+    """
+    from ..bench.harness import time_chained, verify_against_oracle
+    from .spmv import place
+
+    ndev = int(np.prod(list(mesh.shape.values())))
+    plan = plan_dist_spmv(host_mat, ndev, dtype=dtype)
+    nrow, ncol = plan.matrix.shape
+    if nrow != ncol:
+        raise ValueError("bench_dist_spmv requires a square matrix")
+    A = place(plan.matrix, mesh, axis=axis)
+    rng = np.random.default_rng(0)
+    x = rng.random(ncol).astype(np.float32 if dtype is None else dtype)
+    xs = place(plan.shard_x(x, dtype=dtype), mesh, axis=axis)
+
+    import scipy.sparse as sp
+
+    host = (host_mat if sp.issparse(host_mat)
+            else host_mat.to_scipy()).tocsr().astype(np.float64)
+    rel = float("nan")
+    if check:
+        y = plan.spmv(mesh, xs, axis=axis)
+        y_ref = host @ x.astype(np.float64)
+        rel = float(np.max(np.abs(y.to_global() - y_ref))
+                    / max(np.max(np.abs(y_ref)), 1e-300))
+        gate = 1e-10 if x.dtype == np.float64 else 2e-5
+        if rel > gate:
+            raise AssertionError(
+                f"DIST{ndev} SpMV verification failed: rel err {rel:.3e}"
+            )
+
+    inf_norm = float(np.abs(host).sum(axis=1).max())
+    scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
+
+    def step(v: ShardedVector) -> ShardedVector:
+        y = plan.spmv(mesh, v, axis=axis)
+        return ShardedVector(chunks=y.chunks * scale, starts=v.starts,
+                             length=v.length)
+
+    sec = time_chained(step, xs, iters=iters)
+    nnz = plan.matrix.nnz
+    gflops = 2 * nnz / sec / 1e9
+    if not quiet:
+        print(f"### CSR DIST{ndev} GFLOPS = {gflops:.5f}")
+        print(f"    DIST{ndev}: strategy={plan.strategy} | "
+              f"{sec * 1e3:.3f} ms/iter | rel_err={rel:.2e}")
+    return {"format": "CSR", "mode": f"DIST{ndev}", "gflops": gflops,
+            "seconds": sec, "strategy": plan.strategy, "rel_err": rel,
+            "ndev": ndev, "iters": iters}
