@@ -1,21 +1,35 @@
 #!/usr/bin/env python
 """Driver benchmark: ONE JSON line on stdout with the headline metric.
 
-Headline: CSR SpMV on a 1M-row 2-D Poisson matrix (the BASELINE.json
-config-1/config-4 family scaled up to HBM-bound size), float32, on the real
-chip.  The library's strategy planner picks the execution format (DIA for
-this pattern — gather-free shifted FMAs); the correctness gate runs against
-the float64 scipy oracle first.
+Headline: SpMV on a 4096-grid 2-D Poisson matrix (16.8M rows, 83.9M nnz)
+in the planner's DIA strategy, float32, on the real chip.  The per-iter
+working set (~470 MB: 335 MB diagonal data + x + y) is ~30x VMEM, so the
+reported roofline fraction is a true HBM-bandwidth measurement — round 1
+benched a 1M-row matrix whose 24 MB working set stayed VMEM-resident and
+reported a physically impossible fraction of 2.8 (VERDICT r1).
+
+The matrix is constructed ON DEVICE: the host->device tunnel moves
+~1-2 MB/s, so shipping 335 MB is not an option.  The device constructor is
+verified two independent ways before timing:
+
+1. at grid 64 its diagonals must match the host scipy laplacian bit-for-
+   bit, and the planner must pick strategy=dia for this pattern;
+2. at full size, ``A @ x`` must match a roll-based 5-point stencil applied
+   to the ``[G, G]`` grid — an independent on-device formulation.
+
+Second metric (VERDICT r1: "make the 25x GPR claim artifact-backed"):
+GPR (gather-permute-reduce) SpMV on a 100k x 100k uniform-random matrix
+(~700k nnz) vs the XLA segment-sum fallback on the same matrix, both
+chained on chip.  Reported under ``detail.gpr``.
 
 Timing uses the chained-iteration protocol (``time_chained``): K dependent
-SpMV steps inside one dispatched computation, differenced across two K's to
-cancel dispatch/readback overhead — per-call fencing is not trustworthy
-through remote backends.
+SpMV steps inside one dispatched computation, differenced across two K's,
+min-of-3 — per-call fencing is not trustworthy through remote backends.
+Large operands ride as jit arguments (``operands=``), never closures
+(captured arrays become compile-payload constants; HTTP 413 past ~100 MB).
 
-Reported ``vs_baseline``: achieved fraction of the *measured* HBM roofline
-divided by the 0.70 target from BASELINE.json (>= 1.0 means target met).
-The roofline is measured on the spot with a streaming kernel, not taken
-from a spec sheet.
+``vs_baseline``: achieved fraction of the measured HBM roofline divided by
+the 0.70 target from BASELINE.json (>= 1.0 means target met).
 """
 
 import json
@@ -27,6 +41,140 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+GRID = 4096
+
+
+def build_poisson_dia_device(g: int, dtype):
+    """5-point Poisson DIA operand built entirely on device.
+
+    Matches ``utils.laplacian_2d(g)`` = kronsum(T, T): row ``i = ix*g +
+    iy`` couples to ``i±1`` (iy direction, masked at grid-row boundaries)
+    and ``i±g`` (ix direction), diagonal 4.  DIA layout ``data[d, i] =
+    A[i, i+off]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_spmv as ts
+
+    n = g * g
+
+    @jax.jit
+    def build():
+        i = jnp.arange(n, dtype=jnp.int32)
+        m = i % g
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+        d_mg = jnp.where(i >= g, -one, zero)          # off -g
+        d_m1 = jnp.where(m != 0, -one, zero)          # off -1
+        d_0 = jnp.full((n,), 4, dtype)                # off  0
+        d_p1 = jnp.where(m != g - 1, -one, zero)      # off +1
+        d_pg = jnp.where(i < n - g, -one, zero)       # off +g
+        return jnp.stack([d_mg, d_m1, d_0, d_p1, d_pg])
+
+    nnz = 5 * n - 4 * g
+    return ts.DIA(data=build(), offsets=(-g, -1, 0, 1, g), shape=(n, n),
+                  nnz=nnz)
+
+
+def verify_constructor_small(dtype) -> None:
+    """Gate 1: the device constructor == host scipy at grid 64, and the
+    planner picks DIA for this pattern."""
+    import numpy as np
+
+    import tpu_spmv as ts
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.utils import laplacian_2d
+
+    g = 64
+    sp_small = laplacian_2d(g)
+    dev = build_poisson_dia_device(g, dtype)
+    host = ts.convert(
+        ts.COO.from_scipy(sp_small.tocoo(), dtype=dtype), "dia")
+    assert host.offsets == dev.offsets, (host.offsets, dev.offsets)
+    np.testing.assert_array_equal(np.asarray(dev.data),
+                                  np.asarray(host.data))
+    assert dev.nnz == sp_small.nnz
+    plan = plan_spmv(sp_small, dtype=dtype)
+    assert plan.strategy == "dia", plan.strategy
+    log("bench: device constructor verified vs scipy @ grid 64; "
+        "planner strategy=dia")
+
+
+def verify_stencil_big(A, x, g: int, spmv_fn=None) -> float:
+    """Gate 2: A @ x == roll-based 5-point stencil (independent on-device
+    formulation) at full size."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_spmv as ts
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def check(Ad, v, fn):
+        y = fn(Ad, v)
+        u = v.reshape(g, g)
+        st = 4 * u
+        st = st - jnp.pad(u[:-1], ((1, 0), (0, 0)))
+        st = st - jnp.pad(u[1:], ((0, 1), (0, 0)))
+        st = st - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        st = st - jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+        diff = jnp.max(jnp.abs(y - st.reshape(-1)))
+        return diff / jnp.max(jnp.abs(st))
+
+    return float(check(A, x, spmv_fn or ts.spmv))
+
+
+def bench_gpr(measured_peak_gbps: float) -> dict:
+    """Second metric: GPR vs the XLA fallback on a 700k-nnz random matrix."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tpu_spmv as ts
+    from tpu_spmv.bench.harness import time_chained
+    from tpu_spmv.kernels import gpr
+    from tpu_spmv.utils import random_sparse
+
+    n = 100_000
+    sp_mat = random_sparse(n, n, 7e-5, seed=2, dtype=np.float32)
+    t0 = time.time()
+    gp = gpr.pack_gpr(sp_mat, dtype=np.float32)
+    pack_s = time.time() - t0
+    log(f"bench: gpr pack {sp_mat.nnz} nnz in {pack_s:.1f}s")
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    y = np.asarray(gpr.spmv_gpr(gp, x))
+    y_ref = sp_mat.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = float(np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)))
+    assert rel < 2e-5, f"GPR verification failed: {rel:.3e}"
+    log(f"bench: gpr rel_err={rel:.2e}")
+
+    scale = np.float32(1.0 / abs(sp_mat).sum(axis=1).max())
+    gpr_dt = time_chained(lambda c, A: gpr.spmv_gpr(A, c) * scale, x,
+                          iters=100, warm=10, operands=(gp,))
+
+    csr = ts.convert(ts.COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32),
+                     "csr")
+    xla_dt = time_chained(lambda c, A: ts.spmv(A, c) * scale, x,
+                          iters=20, warm=2, operands=(csr,))
+    speedup = xla_dt / gpr_dt
+    gflops = 2 * sp_mat.nnz / gpr_dt / 1e9
+    log(f"### GPR TPU GFLOPS = {gflops:.5f}")
+    log(f"bench: gpr {gpr_dt * 1e6:.0f} us/iter vs xla csr "
+        f"{xla_dt * 1e3:.2f} ms/iter -> {speedup:.1f}x")
+    return {
+        "gflops": round(gflops, 3),
+        "us_per_spmv": round(gpr_dt * 1e6, 1),
+        "xla_ms_per_spmv": round(xla_dt * 1e3, 3),
+        "speedup_vs_xla": round(speedup, 2),
+        "nnz": int(sp_mat.nnz),
+        "rel_err": rel,
+        "pack_s": round(pack_s, 2),
+    }
+
+
 def main() -> int:
     t_start = time.time()
     import numpy as np
@@ -34,70 +182,85 @@ def main() -> int:
     import jax.numpy as jnp
 
     import tpu_spmv as ts
-    from tpu_spmv.bench.harness import time_chained, verify_against_oracle
+    from tpu_spmv.bench.harness import time_chained
     from tpu_spmv.bench.roofline import spmv_bytes, hbm_bandwidth_gbps
-    from tpu_spmv.ops.auto import plan_spmv
-    from tpu_spmv.utils import laplacian_2d
 
     dev = jax.devices()[0]
     log(f"bench: device={dev.device_kind} platform={dev.platform}")
 
     # --- measured speed-of-light over 256 MiB (must exceed VMEM by a wide
-    # margin or the "roofline" measures on-chip SRAM: 64 MiB hit 16 TB/s,
-    # 160 MiB 1.2 TB/s on v5e) ---
+    # margin or the "roofline" measures on-chip SRAM) ---
     v = jnp.asarray(np.random.default_rng(0).random(1 << 26), jnp.float32)
-    # stream (read+write).  A pure-read measurement would be a better
-    # matrix-streaming proxy, but every loop-carried formulation either got
-    # hoisted by XLA or hung this backend — stream is the robust floor, so
-    # roofline fractions above 1.0 just mean the kernel beats read+write
-    # streaming (e.g. via VMEM residency of loop-invariant operands).
     sol_dt = time_chained(lambda c: c * 1.0000001 + 1e-9, v, iters=20, warm=2)
     stream_gbps = 2 * v.size * 4 / sol_dt / 1e9
-    # a true HBM-bound stream cannot beat the spec sheet; anything above it
-    # means on-chip caching leaked in — clamp so the fraction stays honest
     measured_peak_gbps = min(stream_gbps, hbm_bandwidth_gbps(dev))
     log(f"bench: measured stream roofline = {stream_gbps:.0f} GB/s "
         f"(spec {hbm_bandwidth_gbps(dev):.0f})")
     del v
 
-    # --- the benchmark matrix: 1024x1024-grid 5-point Poisson, n=1M ---
-    grid = 1024
-    sp_mat = laplacian_2d(grid)
-    coo = ts.COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32)
-    csr = ts.convert(coo, "csr")
-    n = csr.shape[0]
-    log(f"bench: matrix n={n} nnz={csr.nnz}")
+    # --- headline matrix: 4096-grid Poisson, built and verified on device
+    verify_constructor_small(jnp.float32)
+    A = build_poisson_dia_device(GRID, jnp.float32)
+    n = A.shape[0]
+    log(f"bench: matrix n={n} nnz={A.nnz} "
+        f"(DIA bytes/iter = {spmv_bytes(A, jnp.float32) / 1e6:.0f} MB)")
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n,), jnp.float32)
+    rel = verify_stencil_big(A, x, GRID)
+    log(f"bench: on-device stencil cross-check rel_err={rel:.2e}")
+    assert rel < 2e-5, f"stencil verification failed: {rel:.3e}"
 
-    plan = plan_spmv(csr)
-    A = plan.matrix
-    log(f"bench: planner chose strategy={plan.strategy}")
+    scale = np.float32(1.0 / 8.0)  # ||A||_inf of the 5-point Poisson
+    # the planner's large-DIA choice: the streaming Pallas kernel
+    # (kernels/dia_stream.py) — XLA's lowering runs at ~14% of roofline at
+    # this size, the streaming kernel at ~71% (both measured on chip)
+    from tpu_spmv.kernels import dia_stream
 
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.random(n), jnp.float32)
-
-    # correctness gate (the check the reference never ran — SURVEY.md Q1)
-    y = jax.jit(lambda v: plan(v))(x)
-    rel = verify_against_oracle(A, x, y, oracle=sp_mat)
-    log(f"bench: correctness rel_err={rel:.2e} (gate 2e-5 for f32)")
-
-    # chained timing: v' = (A v) / ||A||_inf
-    scale = np.float32(1.0 / abs(sp_mat).sum(axis=1).max())
-    # large iteration count: per-iter time is ~tens of us while the
-    # dispatch+readback floor is ~tens of ms, so the differenced signal
-    # needs hundreds of chained iterations to dominate noise
-    dt = time_chained(lambda c: plan(c) * scale, x, iters=400, warm=20)
+    S = dia_stream.pack_sdia(A)
+    rel_s = verify_stencil_big(S, x, GRID,
+                               spmv_fn=dia_stream.spmv_sdia)
+    log(f"bench: sdia kernel stencil cross-check rel_err={rel_s:.2e}")
+    assert rel_s < 2e-5, f"sdia verification failed: {rel_s:.3e}"
+    xp = dia_stream.pad_x(S, x)
+    dt = time_chained(
+        lambda c, Ad: dia_stream.spmv_sdia_padded(Ad, c) * scale, xp,
+        iters=400, warm=20, operands=(S,))
+    xla_dt = time_chained(lambda c, Ad: ts.spmv(Ad, c) * scale, x,
+                          iters=100, warm=10, operands=(A,))
 
     nbytes = spmv_bytes(A, jnp.float32)
-    gflops = 2 * csr.nnz / dt / 1e9
+    gflops = 2 * A.nnz / dt / 1e9
     bw = nbytes / dt / 1e9
     frac = bw / measured_peak_gbps
     log(f"### CSR TPU GFLOPS = {gflops:.5f}")
     log(f"bench: {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
-        f"{100 * frac:.1f}% of measured roofline | strategy={plan.strategy}")
-    log(f"bench: total wall time {time.time() - t_start:.0f}s")
+        f"{100 * frac:.1f}% of measured roofline | strategy=dia_stream "
+        f"(xla dia: {xla_dt * 1e3:.3f} ms/iter)")
 
+    # --- distributed parity on one chip: the same matrix through the
+    # sharded-DIA shard_map path (ndev=1) must cost ~the same
+    from tpu_spmv import dist
+
+    mesh1 = dist.make_mesh(1)
+    S = dist.ShardedDIA(data=A.data[None], offsets=A.offsets, shape=A.shape,
+                        nnz=A.nnz)
+    xs = dist.ShardedVector(chunks=x[None], starts=(0, n), length=n)
+
+    def dist_step(vs, Sd):
+        y = dist.spmv_dia_sharded(mesh1, Sd, vs)
+        return dist.ShardedVector(chunks=y.chunks * scale, starts=vs.starts,
+                                  length=vs.length)
+
+    dist_dt = time_chained(dist_step, xs, iters=200, warm=10, operands=(S,))
+    parity = dist_dt / dt
+    log(f"bench: dist(ndev=1) {dist_dt * 1e3:.3f} ms/iter "
+        f"({parity:.2f}x the plain kernel)")
+
+    # --- second metric: GPR on a random pattern ---
+    gpr_detail = bench_gpr(measured_peak_gbps)
+
+    log(f"bench: total wall time {time.time() - t_start:.0f}s")
     print(json.dumps({
-        "metric": "csr_spmv_poisson1m_f32_gflops",
+        "metric": "csr_spmv_poisson16m_f32_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(frac / 0.70, 4),
@@ -106,10 +269,14 @@ def main() -> int:
             "model_gbps": round(bw, 2),
             "measured_peak_gbps": round(measured_peak_gbps, 1),
             "roofline_fraction": round(frac, 4),
-            "strategy": plan.strategy,
-            "nnz": csr.nnz,
-            "rel_err": rel,
+            "strategy": "dia_stream",
+            "nnz": int(A.nnz),
+            "rel_err": rel_s,
+            "xla_dia_ms_per_spmv": round(xla_dt * 1e3, 4),
             "device": dev.device_kind,
+            "dist1_ms_per_spmv": round(dist_dt * 1e3, 4),
+            "dist1_parity": round(parity, 3),
+            "gpr": gpr_detail,
         },
     }))
     return 0
@@ -123,7 +290,7 @@ if __name__ == "__main__":
 
         traceback.print_exc(file=sys.stderr)
         print(json.dumps({
-            "metric": "csr_spmv_poisson1m_f32_gflops",
+            "metric": "csr_spmv_poisson16m_f32_gflops",
             "value": 0.0,
             "unit": "GFLOP/s",
             "vs_baseline": 0.0,

@@ -12,6 +12,9 @@
 #include <cstddef>
 using std::size_t;
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -78,6 +81,25 @@ int color_bipartite(const int32_t* src, const int32_t* dst, int64_t n_edges,
   }
   for (int64_t e = 0; e < n_edges; ++e) color[e] = color_out[e];
   return 0;
+}
+
+// Batched variant: ntiles independent coloring problems, edges of tile t
+// in [offsets[t], offsets[t+1]).  One ctypes round-trip for a whole plan
+// (a 1M-element permutation colors ~120+ tiles), OpenMP across tiles.
+// Returns 0 on success, or 1-based index of the first failing tile.
+int64_t color_bipartite_batch(const int32_t* src, const int32_t* dst,
+                              const int64_t* offsets, int64_t ntiles,
+                              int32_t q, int32_t* color) {
+  int64_t failed = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t t = 0; t < ntiles; ++t) {
+    const int64_t lo = offsets[t], hi = offsets[t + 1];
+    if (color_bipartite(src + lo, dst + lo, hi - lo, q, color + lo) != 0) {
+#pragma omp critical
+      if (failed == 0 || t + 1 < failed) failed = t + 1;
+    }
+  }
+  return failed;
 }
 
 }  // extern "C"

@@ -1,0 +1,110 @@
+"""Streaming Pallas DIA kernel (kernels/dia_stream.py) + two-level
+permutation routing — interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_spmv import COO, convert, utils
+from tpu_spmv.kernels import dia_stream
+from tpu_spmv.kernels import permute as pm
+
+
+def _rel(y, ref):
+    return np.max(np.abs(np.asarray(y, np.float64) - ref)) / max(
+        np.max(np.abs(ref)), 1e-300)
+
+
+@pytest.mark.parametrize("n,b,rb", [(1000, 3, 256), (5000, 40, 512),
+                                    (777, 5, 256)])
+def test_sdia_oracle(n, b, rb):
+    m = utils.banded(n, b, seed=n)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_sdia(dia, rb=rb)
+    x = np.random.default_rng(n).random(n).astype(np.float32)
+    y = dia_stream.spmv_sdia(A, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.astype(np.float64) @ x) < 2e-5
+
+
+def test_sdia_chained_padded():
+    m = utils.laplacian_2d(32)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_sdia(dia, rb=256)
+    x = np.random.default_rng(0).random(1024).astype(np.float32)
+    xp = dia_stream.pad_x(A, jnp.asarray(x))
+    yp = dia_stream.spmv_sdia_padded(A, xp, interpret=True)
+    # pads must stay zero so the chain is closed
+    ypn = np.asarray(yp)
+    assert np.all(ypn[:A.L] == 0) and np.all(ypn[A.L + 1024:] == 0)
+    yp2 = dia_stream.spmv_sdia_padded(A, yp * np.float32(0.125),
+                                      interpret=True)
+    y2 = np.asarray(dia_stream.unpad_y(A, yp2))
+    ref = m.astype(np.float64) @ ((m @ x.astype(np.float64)) * 0.125)
+    assert _rel(y2, ref) < 2e-5
+
+
+def test_sdia_accumulate():
+    m = utils.banded(500, 2, seed=9)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_sdia(dia, rb=256)
+    rng = np.random.default_rng(9)
+    x = rng.random(500).astype(np.float32)
+    y0 = rng.random(500).astype(np.float32)
+    out = dia_stream.spmv_sdia(A, jnp.asarray(x), jnp.asarray(y0),
+                               interpret=True)
+    ref = y0.astype(np.float64) + m.astype(np.float64) @ x
+    assert _rel(out, ref) < 2e-5
+
+
+def test_sdia_envelope():
+    with pytest.raises(ValueError, match="square"):
+        dia = convert(
+            COO.from_scipy(utils.random_sparse(40, 60, 0.2, seed=1).tocoo(),
+                           dtype=jnp.float32), "dia")
+        dia_stream.pack_sdia(dia, rb=256)
+    assert not dia_stream.supports_sdia((-300,), (1000, 1000), 256)
+    assert dia_stream.supports_sdia((-4096, 0, 4096), (10**6, 10**6))
+
+
+def test_two_level_routing():
+    rng = np.random.default_rng(4)
+    n = 1_500_000
+    perm = rng.permutation(n)
+    # auto must return SOME working plan at a size past the old hard cap
+    plan = pm.plan_permutation_auto(perm)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    out = pm.apply_permutation(plan, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x)[perm])
+    # and the two-level router itself must work when forced
+    plan2 = pm.plan_permutation_two_level(perm)
+    assert isinstance(plan2, pm.TwoLevelPlan)
+    out2 = pm.apply_permutation(plan2, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(x)[perm])
+
+
+def test_two_level_checkpoint_roundtrip(tmp_path):
+    from tpu_spmv.io import checkpoint
+
+    rng = np.random.default_rng(5)
+    n = 1_200_000
+    perm = rng.permutation(n)
+    plan = pm.plan_permutation_two_level(perm)
+    p = tmp_path / "two_level.npz"
+    checkpoint.save_matrix(p, plan)
+    plan2 = checkpoint.load_matrix(p)
+    assert plan2.n == plan.n
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    out = pm.apply_permutation(plan2, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x)[perm])
+
+
+def test_batched_coloring_matches_serial():
+    rng = np.random.default_rng(6)
+    T, E = 3, 4000
+    src = rng.integers(0, 128, (T, E))
+    dst = np.stack([rng.permutation(np.arange(E) % 128) for _ in range(T)])
+    colors = pm.color_bipartite_tiles(src, dst)
+    # proper coloring: no (src, color) or (dst, color) collision per tile
+    for t in range(T):
+        assert len(set(zip(src[t], colors[t]))) == E
+        assert len(set(zip(dst[t], colors[t]))) == E

@@ -62,7 +62,7 @@ def test_gpr_hub_row_packs():
     # (ADVICE r1: pack_gpr_chunked isolates such rows into their own chunk)
     import scipy.sparse as sp
 
-    ncol = 900_000
+    ncol = 2_900_000
     hub_cols = np.arange(gpr.MAX_NNZ + 1000, dtype=np.int64) % ncol
     rows = np.concatenate([np.zeros(len(hub_cols), dtype=np.int64),
                            np.array([1, 2], dtype=np.int64)])
@@ -75,7 +75,9 @@ def test_gpr_hub_row_packs():
     y = np.asarray(gpr.spmv_gpr(A, jnp.asarray(x), interpret=True))
     y_ref = m.astype(np.float64) @ x.astype(np.float64)
     rel = np.max(np.abs(y - y_ref)) / max(np.max(np.abs(y_ref)), 1e-300)
-    assert rel < 2e-5
+    # the hub row is a single ~2.4M-term f32 dot product: accumulation
+    # error alone is ~sqrt(nnz)*eps ~ 2e-4, so the gate scales with it
+    assert rel < 1e-3, rel
 
 
 def test_gpr_supports():

@@ -59,7 +59,7 @@ class TimingResult:
 
 
 def time_chained(step_fn: Callable, v0, *, iters: int = 20,
-                 warm: int = 2) -> float:
+                 warm: int = 2, operands: tuple = ()) -> float:
     """Seconds per iteration of ``v' = step_fn(v)`` chained inside ONE jit.
 
     The only timing protocol that is honest on every backend: the K
@@ -75,14 +75,20 @@ def time_chained(step_fn: Callable, v0, *, iters: int = 20,
     turn a repeat-timing loop into a single call — the failure mode of the
     reference's naive 50x loop, `/root/reference/main.cpp:55-58`, which its
     compiler was simply not smart enough to exploit).
+
+    ``operands`` threads loop-invariant values (e.g. the matrix) through
+    as jit ARGUMENTS — ``step_fn(c, *operands)`` — instead of closure
+    captures: captured arrays are baked into the compiled payload as
+    constants, which breaks remote compilation past ~100 MB and skews
+    what is measured.
     """
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def run(v, k):
-        return lax.fori_loop(0, k, lambda i, c: step_fn(c), v)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(ops, v, k):
+        return lax.fori_loop(0, k, lambda i, c: step_fn(c, *ops), v)
 
     def run_fenced(k):
-        out = run(v0, k)
+        out = run(operands, v0, k)
         # scalar readback is the fence; block_until_ready is NOT trustworthy
         jnp.sum(jax.tree_util.tree_leaves(out)[0]).item()
 

@@ -12,14 +12,20 @@ large factors on the table.  Measured context (TPU v5e, f32):
 """
 
 from .ell_pallas import PackedELL, pack_ell, spmv_pallas, supports
-from .permute import (PermutationPlan, plan_permutation, apply_permutation,
-                      plan_tile_permutation, apply_tile_permutation)
+from .permute import (PermutationPlan, TwoLevelPlan, plan_permutation,
+                      plan_permutation_two_level, plan_permutation_auto,
+                      apply_permutation, plan_tile_permutation,
+                      apply_tile_permutation)
 from .gpr import GPCSR, pack_gpr, spmv_gpr
+from .dia_stream import SDIA, pack_sdia, spmv_sdia
 
 __all__ = ["PackedELL", "pack_ell", "spmv_pallas", "supports",
-           "PermutationPlan", "plan_permutation", "apply_permutation",
+           "PermutationPlan", "TwoLevelPlan", "plan_permutation",
+           "plan_permutation_two_level", "plan_permutation_auto",
+           "apply_permutation",
            "plan_tile_permutation", "apply_tile_permutation",
            "GPCSR", "pack_gpr", "spmv_gpr",
+           "SDIA", "pack_sdia", "spmv_sdia",
            "bench_pallas_sweep"]
 
 

@@ -22,9 +22,11 @@ emits y in class-sorted row order; a second (tiny, nrow-sized) pass
 through the permutation engine restores natural order.  Only entries
 beyond 128 per row fall back to a COO side path.
 
-Envelope: ``ncol <= 3M`` (x2d VMEM-resident) and ``nnz <= ~800k`` per
-permutation plan; :func:`pack_gpr_chunked` lifts the nnz cap by splitting
-rows into blocks with independent plans (outputs concatenate).
+Envelope: ``ncol <= 3M`` (x2d VMEM-resident) and ``nnz <= ~2.4M`` per
+pipeline (the permutation engine's exchange stage is VMEM-resident;
+routing goes two-level automatically past ~1M elements);
+:func:`pack_gpr_chunked` lifts the nnz cap further by splitting rows into
+blocks with independent plans (outputs concatenate).
 """
 
 from __future__ import annotations
@@ -48,7 +50,11 @@ __all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "GPCSRChunked",
 LANES = 128
 #: width-class lane budgets (rows per sublane = 128 // W)
 CLASS_W = (8, 16, 32, 64, 128)
-MAX_NNZ = 800_000
+#: cap per single pipeline: the permutation engine's exchange stage keeps
+#: the whole routed buffer VMEM-resident (~n*4 bytes <= ~12 MB), so one
+#: plan covers n ~ 3M slots ~ 2.4M nnz.  Routing itself goes two-level
+#: (plan_permutation_auto) past ~1M; beyond MAX_NNZ use pack_gpr_chunked.
+MAX_NNZ = 2_400_000
 #: tiles per grid step — 4KB per-tile blocks are DMA-overhead-bound
 TPS = 16
 
@@ -223,12 +229,12 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     used_src = np.zeros(N, dtype=bool)
     used_src[src_flat] = True
     perm[free_dst] = np.flatnonzero(~used_src)[: len(free_dst)]
-    plan = _perm.plan_permutation(perm)
+    plan = _perm.plan_permutation_auto(perm)
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
     if not np.array_equal(row_order, np.arange(nrow)):
-        yplan = _perm.plan_permutation(sorted_pos)
+        yplan = _perm.plan_permutation_auto(sorted_pos)
 
     return GPCSR(
         gseg=jnp.asarray(gseg),

@@ -33,8 +33,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["color_bipartite", "plan_tile_permutation",
-           "apply_tile_permutation", "permute_reference"]
+__all__ = ["color_bipartite", "color_bipartite_tiles",
+           "plan_tile_permutation", "apply_tile_permutation",
+           "permute_reference", "PermutationPlan", "plan_permutation",
+           "TwoLevelPlan", "plan_permutation_two_level",
+           "plan_permutation_auto", "apply_permutation"]
 
 Q = 128
 
@@ -60,8 +63,45 @@ def _native_router():
                 _ctypes.c_int64, _ctypes.c_int32,
                 _ctypes.POINTER(_ctypes.c_int32),
             ]
+            if hasattr(lib, "color_bipartite_batch"):
+                lib.color_bipartite_batch.restype = _ctypes.c_int64
+                lib.color_bipartite_batch.argtypes = [
+                    _ctypes.POINTER(_ctypes.c_int32),
+                    _ctypes.POINTER(_ctypes.c_int32),
+                    _ctypes.POINTER(_ctypes.c_int64),
+                    _ctypes.c_int64, _ctypes.c_int32,
+                    _ctypes.POINTER(_ctypes.c_int32),
+                ]
             return lib
     return None
+
+
+def color_bipartite_tiles(src: np.ndarray, dst: np.ndarray,
+                          q: int = Q) -> np.ndarray:
+    """Color ``T`` independent tile problems at once (``src``/``dst`` are
+    ``[T, E]``).  One ctypes round-trip + OpenMP across tiles via the C++
+    router's batch entry point; per-tile Python fallback otherwise."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    T_, E = src.shape
+    lib = _native_router()
+    if lib is not None and hasattr(lib, "color_bipartite_batch"):
+        s32 = np.ascontiguousarray(src.reshape(-1), dtype=np.int32)
+        d32 = np.ascontiguousarray(dst.reshape(-1), dtype=np.int32)
+        offs = (np.arange(T_ + 1, dtype=np.int64) * E)
+        out = np.empty(T_ * E, dtype=np.int32)
+        rc = lib.color_bipartite_batch(
+            s32.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+            d32.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+            offs.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int64)),
+            T_, q,
+            out.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise ValueError(f"tile {rc - 1}: a vertex has degree > {q}")
+        return out.reshape(T_, E).astype(np.int64)
+    return np.stack([color_bipartite(src[t], dst[t], q)
+                     for t in range(T_)])
 
 
 def color_bipartite(src: np.ndarray, dst: np.ndarray, q: int = Q) -> np.ndarray:
@@ -227,8 +267,8 @@ class PermutationPlan:
         return int(self.a1.shape[0])
 
 
-def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
-                     ) -> PermutationPlan:
+def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
+                     force_r_p: int | None = None) -> PermutationPlan:
     """Route an arbitrary permutation of ``n`` elements.
 
     Elements are laid out ``slack``-padded: each tile carries
@@ -237,6 +277,10 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
     rows-per-tile budget feasible for random flows.  ``apply_permutation``
     handles the (free) reshape/pad between the flat ``[n]`` view and the
     padded tile layout.
+
+    ``force_r_p`` pins the tile fill (the two-level router engineers its
+    pass flows for a specific ``r_p``; re-searching would break the
+    contiguity that makes them feasible).
     """
     perm = np.asarray(perm, dtype=np.int64)
     n = len(perm)
@@ -246,22 +290,38 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
     # budget (send and receive <= 128 whole rows per tile) is feasible
     r_p = None
     start = max((int(TILE * (1.0 - slack)) // Q) * Q, Q)
-    for cand in range(start, Q - 1, -1024):
+    candidates = ([force_r_p] if force_r_p is not None
+                  else range(start, Q - 1, -1024))
+    for cand in candidates:
         T_c = max(-(-n // cand), 1)
         ts_c = perm // cand
         td_c = idx // cand
         pair = ts_c * T_c + td_c
-        uniq, cnt = np.unique(pair, return_counts=True)
-        rows_per_pair = -(-cnt // Q)
-        send = np.bincount(uniq // T_c, weights=rows_per_pair, minlength=T_c)
-        recv = np.bincount(uniq % T_c, weights=rows_per_pair, minlength=T_c)
+        # budget: rows = ceil(pair-chunk / 128) per (src, dst) tile pair
+        # (bincount over the pair key; cheaper than unique's sort)
+        cnt_all = np.bincount(pair, minlength=T_c * T_c) \
+            if T_c * T_c <= max(4 * n, 1 << 20) else None
+        if cnt_all is not None:
+            nzp = np.flatnonzero(cnt_all)
+            rows_per_pair = -(-cnt_all[nzp] // Q)
+            send = np.bincount(nzp // T_c, weights=rows_per_pair,
+                               minlength=T_c)
+            recv = np.bincount(nzp % T_c, weights=rows_per_pair,
+                               minlength=T_c)
+        else:
+            uniq, cnt = np.unique(pair, return_counts=True)
+            rows_per_pair = -(-cnt // Q)
+            send = np.bincount(uniq // T_c, weights=rows_per_pair,
+                               minlength=T_c)
+            recv = np.bincount(uniq % T_c, weights=rows_per_pair,
+                               minlength=T_c)
         if send.max() <= Q and recv.max() <= Q:
             r_p = cand
             break
     if r_p is None:
         raise ValueError(
-            f"no feasible single-level routing for n={n}; chunk the "
-            f"permutation below ~900k elements"
+            f"no feasible single-level routing for n={n}; use "
+            f"plan_permutation_auto (two-level) or chunk below ~900k"
         )
     T = max(-(-n // r_p), 1)
     # padded-layout positions: element i lives at tile i//r_p, slot i%r_p
@@ -301,16 +361,33 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
         )
     # src row index within its source tile, dest row slot within dest tile
     def slot_within(owner):
-        slots = np.zeros(nrows, dtype=np.int64)
-        seen = {}
-        for r in range(nrows):
-            o = int(owner[r])
-            slots[r] = seen.get(o, 0)
-            seen[o] = slots[r] + 1
+        # rank of each row among rows sharing its owner, in row order
+        # (vectorized group-by: stable sort, then arange minus group start)
+        order_o = np.argsort(owner, kind="stable")
+        counts = np.bincount(owner, minlength=T)
+        gstart = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=gstart[1:])
+        slots = np.empty(nrows, dtype=np.int64)
+        slots[order_o] = np.arange(nrows) - gstart[owner[order_o]]
         return slots
 
     r1 = slot_within(row_ts)          # row within source tile after stage 1
     r2 = slot_within(row_td)          # row within dest tile after stage 2
+
+    def fill_free_slots(perm_t, used_dst, tile_of, src_of):
+        """Map each tile's leftover dst slots to its leftover src slots.
+
+        Vectorized over all tiles at once: flatnonzero over the flattened
+        [T, TILE] masks yields positions grouped by tile in ascending
+        order on BOTH sides, and the per-tile counts agree (both are
+        complements of the same per-tile element count), so pairing the
+        two flat lists element-wise never crosses a tile boundary.
+        """
+        used_src = np.zeros((T, TILE), dtype=bool)
+        used_src[tile_of, src_of] = True
+        free_dst = np.flatnonzero(~used_dst.ravel())
+        free_src = np.flatnonzero(~used_src.ravel())
+        perm_t.ravel()[free_dst] = free_src % TILE
 
     # ---- stage-1 per-tile permutations -----------------------------------
     # element (in `order`) moves within src tile ts_o: from sp -> (r1, lane)
@@ -323,13 +400,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
     used[ts_o, dst1] = True
     # unused slots must form a permutation too: map leftover dst slots to
     # leftover src slots (both are the complements, same count per tile)
-    for t in range(T):
-        free_dst = np.flatnonzero(~used[t])
-        if len(free_dst):
-            used_src = np.zeros(TILE, dtype=bool)
-            used_src[sp_o[ts_o == t]] = True
-            free_src = np.flatnonzero(~used_src)
-            perm1[t, free_dst] = free_src
+    fill_free_slots(perm1, used, ts_o, sp_o)
 
     # ---- stage-2 global row sources --------------------------------------
     rowsrc = np.zeros(T * Q, dtype=np.int64)
@@ -348,21 +419,25 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
     dp_o = dp[order]
     perm3[td_o, dp_o] = src3
     used3[td_o, dp_o] = True
-    for t in range(T):
-        free_dst = np.flatnonzero(~used3[t])
-        if len(free_dst):
-            used_src = np.zeros(TILE, dtype=bool)
-            used_src[src3[td_o == t]] = True
-            perm3[t, free_dst] = np.flatnonzero(~used_src)
+    fill_free_slots(perm3, used3, td_o, src3)
 
-    # ---- per-tile G-T-G-T-G planes ---------------------------------------
+    # ---- per-tile G-T-G-T-G planes (batched coloring + vectorized
+    # plane assembly: one C++ call for all tiles, OpenMP inside) ----------
     def planes_for(perms):
+        dst_r = np.broadcast_to(
+            (np.arange(TILE, dtype=np.int64) // Q)[None], (T, TILE))
+        dst_c = np.broadcast_to(
+            (np.arange(TILE, dtype=np.int64) % Q)[None], (T, TILE))
+        src_r, src_c = np.divmod(perms, Q)
+        colors = color_bipartite_tiles(src_r, dst_r)
         g1 = np.zeros((T, Q, Q), dtype=np.int32)
         g2 = np.zeros((T, Q, Q), dtype=np.int32)
         g3 = np.zeros((T, Q, Q), dtype=np.int32)
-        for t in range(T):
-            p1, p2, p3 = plan_tile_permutation(perms[t])
-            g1[t], g2[t], g3[t] = p1, p2, p3
+        tile_i = np.broadcast_to(
+            np.arange(T, dtype=np.int64)[:, None], (T, TILE))
+        g1[tile_i, src_r, colors] = src_c
+        g2[tile_i, colors, dst_r] = src_r
+        g3[tile_i, dst_r, dst_c] = colors
         return g1, g2, g3
 
     a1, a2, a3 = planes_for(perm1)
@@ -374,6 +449,104 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15
         n=int(n),
         real_per_tile=int(r_p),
     )
+
+
+@sparse_dataclass
+class TwoLevelPlan:
+    """Two-pass routing: arbitrary ``n`` via supertile composition.
+
+    Single-level routing caps near ~900k elements: a tile sending its
+    ``r_p`` elements needs at least ``r_p/128`` whole rows, and the
+    per-destination-tile fragmentation (+1 partial row per flow) eats the
+    slack once there are more destination tiles than slack rows.  The
+    classic fix is one more Clos stage, one level up:
+
+    - **pass A** routes every element into its destination *supertile*
+      (group of ``K`` tiles), at a slot chosen so that each (source tile →
+      supertile) flow lands **contiguously** — then a source tile
+      fragments across at most ``T/K (+1)`` destinations, which fits the
+      slack;
+    - **pass B** finishes within each supertile independently — flows
+      never leave a ``K``-tile group, so the per-tile budget sees at most
+      ``K - 1`` peers.
+
+    Cost: exactly 2x one engine pass (measured 6.8 Gval/s single-level).
+    """
+
+    plan_a: PermutationPlan
+    plan_b: PermutationPlan
+    n: int = static_field()
+
+
+def _rows_feasible(p: np.ndarray, idx: np.ndarray, r_p: int, T: int) -> bool:
+    """Cheap pre-check of the per-tile send/recv row budgets (the same
+    accounting plan_permutation enforces)."""
+    pair = (p // r_p) * T + idx // r_p
+    uniq, cnt = np.unique(pair, return_counts=True)
+    rows = -(-cnt // Q)
+    send = np.bincount(uniq // T, weights=rows, minlength=T)
+    recv = np.bincount(uniq % T, weights=rows, minlength=T)
+    return send.max() <= Q and recv.max() <= Q
+
+
+def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
+    """Budget arithmetic (rows per tile, cap 128; floor = r_p/128):
+
+    - pass A's flows are contiguous by construction → ~2 partial rows per
+      supertile, i.e. ~2·T/K;
+    - pass B's fragmentation depends on the permutation's structure
+      (random: ~K/2 rows; structured flows with dummy fill can be worse),
+      so the slack is chosen ADAPTIVELY: the cheap budget pre-check walks
+      slack ∈ {0.30, 0.40, 0.50} and plans at the first feasible level.
+
+    At slack 0.30 (r_p 11392, floor 89) with K=56 random flows fit up to
+    T ≈ 1100 → n ≈ 12M; heavier structure costs more padding, not failure.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n = len(perm)
+    idx = np.arange(n, dtype=np.int64)
+    last_err = None
+    for slack in (0.30, 0.40, 0.50):
+        r_p = max((int(TILE * (1.0 - slack)) // Q) * Q, Q)
+        T = max(-(-n // r_p), 1)
+        K = min(56, T)
+        S_of = (idx // r_p) // K               # destination supertile
+        ts = perm // r_p                       # source tile
+        # contiguous q assignment: group by supertile (capacity == count,
+        # so groups tile the slot space exactly), order flows by source
+        # tile, ties by DESTINATION position — then pass B's
+        # (mid-tile -> dst-tile) flows are contiguous runs too
+        order = np.lexsort((idx, ts, S_of))
+        q_of_elem = np.empty(n, dtype=np.int64)
+        q_of_elem[order] = idx
+        perm_a = perm[order]                   # mid[k] = x[perm_a[k]]
+        perm_b = q_of_elem                     # out[i] = mid[perm_b[i]]
+        if not (_rows_feasible(perm_a, idx, r_p, T)
+                and _rows_feasible(perm_b, idx, r_p, T)):
+            last_err = ValueError(
+                f"two-level routing infeasible at slack {slack} for n={n}"
+            )
+            continue
+        plan_a = plan_permutation(perm_a, slack=slack, force_r_p=r_p)
+        plan_b = plan_permutation(perm_b, slack=slack, force_r_p=r_p)
+        return TwoLevelPlan(plan_a=plan_a, plan_b=plan_b, n=n)
+    raise last_err
+
+
+def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15):
+    """Single-level when feasible (one engine pass), two-level beyond the
+    ~900k cap.  Returns ``PermutationPlan`` or ``TwoLevelPlan``; both are
+    accepted by :func:`apply_permutation`."""
+    perm = np.asarray(perm, dtype=np.int64)
+    if len(perm) > 1_600_000:
+        # single-level is infeasible for random flows well before this;
+        # skip the (expensive) downward feasibility search entirely
+        return plan_permutation_two_level(perm)
+    try:
+        return plan_permutation(perm, slack=slack)
+    except ValueError:
+        # two-level needs its own (larger) slack budget — see its docstring
+        return plan_permutation_two_level(perm)
 
 
 def _stage1_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
@@ -399,8 +572,16 @@ def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
     o_ref[0] = jnp.take_along_axis(z, g3_ref[0], axis=1)
 
 
-def apply_permutation(plan: PermutationPlan, x, *, interpret: bool = False):
-    """Apply a routed permutation to ``x`` (flat length ``plan.n``)."""
+def apply_permutation(plan, x, *, interpret: bool = False):
+    """Apply a routed permutation to ``x`` (flat length ``plan.n``).
+
+    Accepts a :class:`PermutationPlan` or a :class:`TwoLevelPlan` (two
+    chained engine passes)."""
+    if isinstance(plan, TwoLevelPlan):
+        mid = apply_permutation(plan.plan_a, jnp.reshape(x, (-1,)),
+                                interpret=interpret)
+        out = apply_permutation(plan.plan_b, mid, interpret=interpret)
+        return out.reshape(jnp.shape(x))
     T = plan.ntiles
     r_p = plan.real_per_tile
     xf = jnp.reshape(x, (-1,))

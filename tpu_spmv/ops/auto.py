@@ -148,6 +148,14 @@ def _kernel_for_strategy(strategy: str) -> Callable:
             return out if y is None else y + out
 
         return pallas_kernel
+    if strategy == "dia_stream":
+        from ..kernels import dia_stream
+
+        def sdia_kernel(A, x, y=None):
+            interp = jax.devices()[0].platform == "cpu"
+            return dia_stream.spmv_sdia(A, x, y, interpret=interp)
+
+        return sdia_kernel
     if strategy == "gpr":
         from ..kernels import gpr as _gpr
 
@@ -195,7 +203,22 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
     # a bare ndiags<=64 arm would admit 64-diag matrices at 5 nnz/row
     # (12.8x the bytes) — strictly slower on an HBM-bound kernel
     if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
-        return SpmvPlan(convert(_host_coo(mat, dtype), "dia"), "dia", stats, kernel)
+        dia = convert(_host_coo(mat, dtype), "dia")
+        # beyond VMEM residency, XLA's lowering of the shifted FMAs drops
+        # to ~14% of the HBM roofline; the streaming Pallas kernel holds
+        # ~71% (measured, kernels/dia_stream.py) — switch over when the
+        # working set clearly exceeds VMEM
+        import jax as _jax
+
+        if (_jax.devices()[0].platform != "cpu"
+                and dia_storage * np.dtype(dtype or np.float32).itemsize
+                > 32 * 1024 * 1024):
+            from ..kernels import dia_stream
+
+            if dia_stream.supports_sdia(dia.offsets, dia.shape):
+                return SpmvPlan(dia_stream.pack_sdia(dia), "dia_stream",
+                                stats, _kernel_for_strategy("dia_stream"))
+        return SpmvPlan(dia, "dia", stats, kernel)
     if bdia_storage <= 4 * stats.nnz:
         # block-banded (structured PDE): gather-free block-diagonal einsum
         return SpmvPlan(convert(_host_coo(mat, dtype), "bdia", block_size=8), "bdia", stats,
