@@ -87,11 +87,11 @@ def test_cost_model_crossover():
     from tpu_spmv.ops.auto import gpr_cost_s, pallas_ell_cost_s
 
     nnz = 100_000
-    assert pallas_ell_cost_s(1000, 3) < gpr_cost_s(nnz)     # compact: PSELL
+    assert pallas_ell_cost_s(200, 3) < gpr_cost_s(nnz)      # compact: PSELL
     assert pallas_ell_cost_s(65_000, 48) > gpr_cost_s(nnz)  # scattered: GPR
     # the fixed GPR pipeline cost dominates tiny matrices
-    assert gpr_cost_s(0) == 250e-6
-    assert abs(gpr_cost_s(1_000_000) - (0.8e-3 + 250e-6)) < 1e-9
+    assert gpr_cost_s(0) == 90e-6
+    assert abs(gpr_cost_s(1_000_000) - (0.15e-3 + 90e-6)) < 1e-9
 
 
 def test_planner_dia_storage_ratio_only():

@@ -243,6 +243,7 @@ def spmv_bdia_sharded(mesh: Mesh, A: ShardedBDIA, x: ShardedVector,
             y = y + jnp.einsum(
                 "nij,nj->ni", A_loc.data[0, d], xs,
                 preferred_element_type=A_loc.data.dtype,
+                precision=lax.Precision.HIGHEST,
             )
         return y.reshape(-1)[None]
 

@@ -40,7 +40,7 @@ from ..formats.base import sparse_dataclass, static_field
 from ..formats.dia import DIA
 
 __all__ = ["SDIA", "pack_sdia", "spmv_sdia_padded", "spmv_sdia",
-           "supports_sdia"]
+           "spmm_sdia_padded", "spmm_sdia", "supports_sdia"]
 
 #: rows per grid tile (multiple of 1024; |offset| must not exceed it)
 RB = 16384
@@ -166,6 +166,66 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A.data, xpad, xpad, xpad)
+
+
+def _spmm_kernel(data_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h):
+    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=0)
+    acc = data_ref[0][:, None] * jax.lax.slice_in_dim(
+        win, h + offsets[0], h + offsets[0] + rb, axis=0)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc = acc + data_ref[d][:, None] * jax.lax.slice_in_dim(
+            win, h + off, h + off + rb, axis=0)
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_sdia_padded(A: SDIA, Xpad: jax.Array, *,
+                     interpret: bool = False) -> jax.Array:
+    """``Ypad = A @ Xpad`` for multi-RHS ``Xpad [npad, nrhs]``.
+
+    Same streaming structure as :func:`spmv_sdia_padded`; the RHS block
+    rides the lane dimension, so every diagonal's FMA is a ``[rb, nrhs]``
+    elementwise pass — arithmetic intensity grows with ``nrhs`` while the
+    diagonal-data traffic is unchanged (the whole point of SpMM on this
+    hardware, BASELINE config 3).
+    """
+    rb = A.rb
+    npad = A.npad
+    T = npad // rb
+    nd = A.ndiags
+    nrhs = int(Xpad.shape[1])
+    h = _halo_size(A.offsets, rb)
+    hb = rb // h
+    TH = npad // h
+
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, offsets=A.offsets, rb=rb, h=h),
+        out_shape=jax.ShapeDtypeStruct((npad, nrhs), A.data.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((nd, rb), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, nrhs),
+                         lambda j: (jnp.clip(j * hb - 1, 0, TH - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, nrhs), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, nrhs),
+                         lambda j: (jnp.clip((j + 1) * hb, 0, TH - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, nrhs), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A.data, Xpad, Xpad, Xpad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_sdia(A: SDIA, X: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """``A @ X`` with plain ``[n, nrhs]`` operands (pads internally)."""
+    Xp = jnp.pad(X, ((A.L, A.npad - A.L - X.shape[0]), (0, 0)))
+    Yp = spmm_sdia_padded(A, Xp, interpret=interpret)
+    return jax.lax.slice_in_dim(Yp, A.L, A.L + A.shape[0], axis=0)
 
 
 def pad_x(A: SDIA, x: jax.Array) -> jax.Array:

@@ -214,7 +214,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     NS = int(gsub[-1]) + 1 if nm else 1
     NS8 = -(-NS // 8) * 8
     gseg = np.zeros(NS8, dtype=np.int32)
-    glidx = np.zeros((NS8, LANES), dtype=np.int32)
+    glidx = np.zeros((NS8, LANES), dtype=np.int8)   # lane ids < 128
     if nm:
         gseg[gsub[new_sub]] = seg_sorted[new_sub]
         glidx[gsub, glane] = (m_cols & 127)[seg_order]
@@ -230,6 +230,17 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     used_src[src_flat] = True
     perm[free_dst] = np.flatnonzero(~used_src)[: len(free_dst)]
     plan = _perm.plan_permutation_auto(perm)
+    # single-level plans: pad the gather layout to whole plan tiles so the
+    # gather can run INSIDE the plan's stage-1 kernel (one fewer full pass
+    # over the payload + one fewer launch).  Padded slots gather garbage
+    # that only ever reaches dummy destination slots (real destinations
+    # are sourced exclusively from real slots by construction).
+    if isinstance(plan, _perm.PermutationPlan):
+        rp128 = plan.real_per_tile // LANES
+        ns_need = plan.ntiles * rp128
+        if ns_need > len(gseg):
+            gseg = np.pad(gseg, (0, ns_need - len(gseg)))
+            glidx = np.pad(glidx, ((0, ns_need - len(glidx)), (0, 0)))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
@@ -256,55 +267,86 @@ def _gather_kernel(gseg_ref, glidx_ref, x_ref, o_ref, *, tps):
     def body(tb, _):
         base = (step * tps + tb) * 8
         tile = jnp.stack([x_ref[gseg_ref[base + i], :] for i in range(8)])
-        o_ref[tb] = jnp.take_along_axis(tile, glidx_ref[tb], axis=1)
+        o_ref[tb] = jnp.take_along_axis(
+            tile, glidx_ref[tb].astype(jnp.int32), axis=1)
         return 0
 
     lax.fori_loop(0, tps, body, 0)
 
 
-def _reduce_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps):
-    def body(tb, _):
-        prod = vals_ref[tb] * g_ref[tb]
-        o_ref[tb] = lax.dot_general(
-            prod, mask_ref[:], (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=prod.dtype,
-        )
-        return 0
+def _fused_gather_s1_kernel(gseg_ref, glidx_ref, x_ref, a1_ref, a2_ref,
+                            a3_ref, o_ref, *, rp128):
+    """Gather + permutation stage 1 in one pass: build the plan tile's
+    payload directly from x2d (8 row slices + one lane-gather per sublane
+    group) and apply the within-tile G-T-G-T-G immediately — the gathered
+    intermediate never round-trips HBM."""
+    t = pl.program_id(0)
+    groups = []
+    for g in range(rp128 // 8):
+        base = t * rp128 + g * 8
+        tile = jnp.stack([x_ref[gseg_ref[base + i], :] for i in range(8)])
+        idx = glidx_ref[g * 8:(g + 1) * 8].astype(jnp.int32)
+        groups.append(jnp.take_along_axis(tile, idx, axis=1))
+    z = jnp.concatenate(groups, axis=0)
+    if rp128 < LANES:
+        z = jnp.pad(z, ((0, LANES - rp128), (0, 0)))
+    o_ref[0] = _perm._gtgtg(z, a1_ref[0], a2_ref[0], a3_ref[0])
 
-    lax.fori_loop(0, tps, body, 0)
+
+#: tiles per reduce grid step — one [tps*8, 128] @ [128, k] MXU pass each
+REDUCE_TPS = 64
 
 
-def _batched_reduce(vals, g3, k, interpret):
-    """Per-tile mask-dot over a [T, 8, 128] block stack → [T, 8, k]."""
-    T = vals.shape[0]
-    W = LANES // k
-    lane_ids = np.arange(LANES) // W
-    mask = jnp.asarray(
-        (lane_ids[:, None] == np.arange(k)[None, :]), dtype=vals.dtype
+def _reduce_step_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
+    """Whole-step mask-dot: the step's tiles collapse into ONE
+    ``[tps*8, 128] @ [128, k]`` MXU contraction (per-tile fori_loop
+    bodies with dynamic first-axis slices cost ~150ns/tile in Mosaic)."""
+    prod = (vals_ref[:] * g_ref[:]).reshape(tps * 8, LANES)
+    out = lax.dot_general(
+        prod, mask_ref[:], (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=prod.dtype,
     )
-    tps = min(TPS, T)
-    steps = -(-T // tps)
-    Tpad = steps * tps
-    if Tpad != T:
-        vals = jnp.pad(vals, ((0, Tpad - T), (0, 0), (0, 0)))
-        g3 = jnp.pad(g3, ((0, Tpad - T), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(_reduce_kernel, tps=tps),
-        out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), vals.dtype),
-        grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tps, 8, k), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(vals, g3, mask)
-    return out[:T]
+    o_ref[:] = out.reshape(tps, 8, k)
+
+
+def _reduce_all_classes(vals, g3, class_tiles, interpret):
+    """Per-class reduce launches (classes are contiguous tile ranges, so
+    each launch has a STATIC lane budget k and mask)."""
+    parts = []
+    off = 0
+    for W, T_c, rows_c in class_tiles:
+        if T_c == 0:
+            continue
+        k_c = LANES // W
+        lane_ids = np.arange(LANES) // W
+        mask = jnp.asarray(
+            lane_ids[:, None] == np.arange(k_c)[None, :], dtype=vals.dtype)
+        v_c, g_c = vals[off: off + T_c], g3[off: off + T_c]
+        tps = min(REDUCE_TPS, T_c)
+        steps = -(-T_c // tps)
+        Tpad = steps * tps
+        if Tpad != T_c:
+            v_c = jnp.pad(v_c, ((0, Tpad - T_c), (0, 0), (0, 0)))
+            g_c = jnp.pad(g_c, ((0, Tpad - T_c), (0, 0), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_reduce_step_kernel, tps=tps, k=k_c),
+            out_shape=jax.ShapeDtypeStruct((Tpad, 8, k_c), vals.dtype),
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tps, 8, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tps, 8, k_c), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v_c, g_c, mask)
+        parts.append(out[:T_c].reshape(-1)[:rows_c])
+        off += T_c
+    return parts
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -315,49 +357,72 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     xpad = jnp.pad(x, (0, S * LANES - ncol)) if S * LANES != ncol else x
     x2d = xpad.reshape(S, LANES).astype(A.vals.dtype)
     NS8 = A.nsub
-    NT = NS8 // 8
 
-    g_tps = min(TPS, NT)
-    g_steps = -(-NT // g_tps)
-    NTpad = g_steps * g_tps
-    glidx3 = A.glidx.reshape(NT, 8, LANES)
-    gseg_pad = A.gseg
-    if NTpad != NT:
-        glidx3 = jnp.pad(glidx3, ((0, NTpad - NT), (0, 0), (0, 0)))
-        gseg_pad = jnp.pad(A.gseg, (0, (NTpad - NT) * 8))
-    gathered = pl.pallas_call(
-        functools.partial(_gather_kernel, tps=g_tps),
-        out_shape=jax.ShapeDtypeStruct((NTpad, 8, LANES), A.vals.dtype),
-        grid=(g_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(gseg_pad, glidx3, x2d)[:NT]
+    plan = A.plan
+    rp128 = (plan.real_per_tile // LANES
+             if isinstance(plan, _perm.PermutationPlan) else 0)
+    if rp128 and rp128 % 8 == 0 and NS8 == plan.ntiles * rp128:
+        # fused path: gather feeds stage 1 in-register (pack_gpr padded
+        # the gather layout to whole plan tiles)
+        T = plan.ntiles
+        z = pl.pallas_call(
+            functools.partial(_fused_gather_s1_kernel, rp128=rp128),
+            out_shape=jax.ShapeDtypeStruct((T, LANES, LANES),
+                                           A.vals.dtype),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
+                pl.BlockSpec((rp128, LANES), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),       # glidx
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # x2d
+                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(A.gseg, A.glidx, x2d, plan.a1, plan.a2, plan.a3)
+        permuted = _perm.apply_stage23_flat(
+            plan, z.reshape(T * LANES, LANES), interpret=interpret)
+    else:
+        NT = NS8 // 8
+        g_tps = min(TPS, NT)
+        g_steps = -(-NT // g_tps)
+        NTpad = g_steps * g_tps
+        glidx3 = A.glidx.reshape(NT, 8, LANES)
+        gseg_pad = A.gseg
+        if NTpad != NT:
+            glidx3 = jnp.pad(glidx3, ((0, NTpad - NT), (0, 0), (0, 0)))
+            gseg_pad = jnp.pad(A.gseg, (0, (NTpad - NT) * 8))
+        gathered = pl.pallas_call(
+            functools.partial(_gather_kernel, tps=g_tps),
+            out_shape=jax.ShapeDtypeStruct((NTpad, 8, LANES), A.vals.dtype),
+            grid=(g_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(gseg_pad, glidx3, x2d)[:NT]
 
-    flat = gathered.reshape(-1)
-    if A.plan.n > flat.shape[0]:
-        flat = jnp.pad(flat, (0, A.plan.n - flat.shape[0]))
-    permuted = _perm.apply_permutation(A.plan, flat, interpret=interpret)
+        flat = gathered.reshape(-1)
+        if A.plan.n > flat.shape[0]:
+            flat = jnp.pad(flat, (0, A.plan.n - flat.shape[0]))
+        permuted = _perm.apply_permutation(A.plan, flat,
+                                           interpret=interpret)
 
     # per-class reductions over the concatenated tile blocks
     Ttot = A.ntiles
     g3 = permuted[: Ttot * 8 * LANES].reshape(Ttot, 8, LANES)
-    parts = []
-    off = 0
-    for W, T_c, rows_c in A.class_tiles:
-        if T_c == 0:
-            continue
-        k_c = LANES // W
-        out_c = _batched_reduce(A.vals[off: off + T_c],
-                                g3[off: off + T_c], k_c, interpret)
-        parts.append(out_c.reshape(-1)[:rows_c])
-        off += T_c
+    parts = _reduce_all_classes(A.vals, g3, A.class_tiles, interpret)
     y_sorted = (jnp.concatenate(parts) if len(parts) > 1
                 else (parts[0] if parts else jnp.zeros(nrow, A.vals.dtype)))
     if y_sorted.shape[0] < nrow:

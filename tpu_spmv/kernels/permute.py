@@ -206,11 +206,7 @@ def plan_tile_permutation(perm: np.ndarray):
 
 
 def _tile_perm_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
-    z = jnp.take_along_axis(x_ref[:], g1_ref[:], axis=1)
-    z = z.T
-    z = jnp.take_along_axis(z, g2_ref[:], axis=1)
-    z = z.T
-    o_ref[:] = jnp.take_along_axis(z, g3_ref[:], axis=1)
+    o_ref[:] = _gtgtg(x_ref[:], g1_ref[:], g2_ref[:], g3_ref[:])
 
 
 def apply_tile_permutation(x, planes, *, interpret: bool = False):
@@ -252,7 +248,7 @@ class PermutationPlan:
     permutations <= ~512k elements per call (T <= 32) for slack.
     """
 
-    a1: jax.Array   # [T, 128, 128] int32
+    a1: jax.Array   # [T, 128, 128] int8 — lane indices < 128
     a2: jax.Array
     a3: jax.Array
     rowsrc: jax.Array   # [T*128] int32 global source row per dest row
@@ -287,9 +283,11 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     idx = np.arange(n, dtype=np.int64)
 
     # adaptive tile fill: search downward for an r_p whose EXACT row
-    # budget (send and receive <= 128 whole rows per tile) is feasible
+    # budget (send and receive <= 128 whole rows per tile) is feasible.
+    # r_p is kept a multiple of 1024 (8 whole sublanes) so consumers can
+    # fuse sublane-granular producers into stage 1 (gpr's gather).
     r_p = None
-    start = max((int(TILE * (1.0 - slack)) // Q) * Q, Q)
+    start = max((int(TILE * (1.0 - slack)) // 1024) * 1024, 1024)
     candidates = ([force_r_p] if force_r_p is not None
                   else range(start, Q - 1, -1024))
     for cand in candidates:
@@ -442,10 +440,14 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
 
     a1, a2, a3 = planes_for(perm1)
     b1, b2, b3 = planes_for(perm3)
+    # index planes hold lane/sublane/color ids < 128 → int8 halves their
+    # HBM traffic (they are the bulk of an engine pass's bytes); kernels
+    # upcast per tile in VMEM
+    as_i8 = lambda g: jnp.asarray(g.astype(np.int8))
     return PermutationPlan(
-        a1=jnp.asarray(a1), a2=jnp.asarray(a2), a3=jnp.asarray(a3),
+        a1=as_i8(a1), a2=as_i8(a2), a3=as_i8(a3),
         rowsrc=jnp.asarray(rowsrc.astype(np.int32)),
-        b1=jnp.asarray(b1), b2=jnp.asarray(b2), b3=jnp.asarray(b3),
+        b1=as_i8(b1), b2=as_i8(b2), b3=as_i8(b3),
         n=int(n),
         real_per_tile=int(r_p),
     )
@@ -507,7 +509,7 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
     idx = np.arange(n, dtype=np.int64)
     last_err = None
     for slack in (0.30, 0.40, 0.50):
-        r_p = max((int(TILE * (1.0 - slack)) // Q) * Q, Q)
+        r_p = max((int(TILE * (1.0 - slack)) // 1024) * 1024, 1024)
         T = max(-(-n // r_p), 1)
         K = min(56, T)
         S_of = (idx // r_p) // K               # destination supertile
@@ -549,12 +551,17 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15):
         return plan_permutation_two_level(perm)
 
 
+def _gtgtg(z, g1, g2, g3):
+    """The 3-gather-2-transpose tile permutation (planes arrive int8)."""
+    z = jnp.take_along_axis(z, g1.astype(jnp.int32), axis=1)
+    z = z.T
+    z = jnp.take_along_axis(z, g2.astype(jnp.int32), axis=1)
+    z = z.T
+    return jnp.take_along_axis(z, g3.astype(jnp.int32), axis=1)
+
+
 def _stage1_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
-    z = jnp.take_along_axis(x_ref[0], g1_ref[0], axis=1)
-    z = z.T
-    z = jnp.take_along_axis(z, g2_ref[0], axis=1)
-    z = z.T
-    o_ref[0] = jnp.take_along_axis(z, g3_ref[0], axis=1)
+    o_ref[0] = _gtgtg(x_ref[0], g1_ref[0], g2_ref[0], g3_ref[0])
 
 
 def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
@@ -565,11 +572,36 @@ def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
         return jnp.stack([z_ref[rowsrc_ref[base + i], :] for i in range(8)])
 
     z = jnp.concatenate([stack8(s) for s in range(Q // 8)], axis=0)
-    z = jnp.take_along_axis(z, g1_ref[0], axis=1)
-    z = z.T
-    z = jnp.take_along_axis(z, g2_ref[0], axis=1)
-    z = z.T
-    o_ref[0] = jnp.take_along_axis(z, g3_ref[0], axis=1)
+    o_ref[0] = _gtgtg(z, g1_ref[0], g2_ref[0], g3_ref[0])
+
+
+def _tile_spec():
+    return pl.BlockSpec((1, Q, Q), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def apply_stage23_flat(plan: PermutationPlan, z: jax.Array, *,
+                       interpret: bool = False) -> jax.Array:
+    """Stages 2+3 (row exchange + per-destination-tile placement) on a
+    stage-1 output ``z [T*Q, Q]`` → flat ``[plan.n]``.
+
+    Exposed so producers that fuse their own work into stage 1 (the GPR
+    gather) can hand over mid-pipeline."""
+    T = plan.ntiles
+    r_p = plan.real_per_tile
+    out = pl.pallas_call(
+        _stage23_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, Q, Q), z.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # rowsrc (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # z (full, rows)
+            _tile_spec(), _tile_spec(), _tile_spec(),
+        ],
+        out_specs=_tile_spec(),
+        interpret=interpret,
+    )(plan.rowsrc, z, plan.b1, plan.b2, plan.b3)
+    return out.reshape(T, TILE)[:, :r_p].reshape(-1)[: plan.n]
 
 
 def apply_permutation(plan, x, *, interpret: bool = False):
@@ -591,27 +623,14 @@ def apply_permutation(plan, x, *, interpret: bool = False):
     if r_p != TILE:
         x2 = jnp.pad(x2, ((0, 0), (0, TILE - r_p)))
     x2 = x2.reshape(T, Q, Q)
-    tile_spec = pl.BlockSpec((1, Q, Q), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
     z = pl.pallas_call(
         _stage1_kernel,
         out_shape=jax.ShapeDtypeStruct((T, Q, Q), x2.dtype),
         grid=(T,),
-        in_specs=[tile_spec] * 4,
-        out_specs=tile_spec,
+        in_specs=[_tile_spec()] * 4,
+        out_specs=_tile_spec(),
         interpret=interpret,
     )(x2, plan.a1, plan.a2, plan.a3)
-    out = pl.pallas_call(
-        _stage23_kernel,
-        out_shape=jax.ShapeDtypeStruct((T, Q, Q), x2.dtype),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # rowsrc (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # z (full, rows)
-            tile_spec, tile_spec, tile_spec,
-        ],
-        out_specs=tile_spec,
-        interpret=interpret,
-    )(plan.rowsrc, z.reshape(T * Q, Q), plan.b1, plan.b2, plan.b3)
-    flat = out.reshape(T, TILE)[:, :r_p].reshape(-1)[: plan.n]
+    flat = apply_stage23_flat(plan, z.reshape(T * Q, Q),
+                              interpret=interpret)
     return flat.reshape(jnp.shape(x))

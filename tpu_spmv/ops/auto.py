@@ -45,10 +45,10 @@ def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
 
 
 def gpr_cost_s(nnz: int) -> float:
-    """Measured per-SpMV cost model of the GPR pipeline: ~0.8ns per entry
-    (gather+permute+reduce streams) plus a ~250us fixed pipeline cost
-    (kernel launches + y reorder; on-chip measurement, docs/DESIGN.md)."""
-    return nnz * 0.8e-9 + 250e-6
+    """Measured per-SpMV cost model of the GPR pipeline: ~0.15ns per entry
+    (fused gather+stage1, stage23, step-level reduce) plus a ~90us fixed
+    pipeline cost (launches + y reorder; on-chip, docs/DESIGN.md)."""
+    return nnz * 0.15e-9 + 90e-6
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,7 +49,8 @@ def spmm_csc(A: CSC, X: jax.Array) -> jax.Array:
 
 def spmm_ell(A: ELL, X: jax.Array) -> jax.Array:
     _check_rhs(A, X)
-    return jnp.einsum("rw,rwk->rk", A.data, X[A.cols])
+    return jnp.einsum("rw,rwk->rk", A.data, X[A.cols],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spmm_dia(A: DIA, X: jax.Array) -> jax.Array:
@@ -79,6 +80,7 @@ def spmm_bsr(A: BSR, X: jax.Array) -> jax.Array:
     Yb = jnp.einsum(
         "nij,njk->nik", A.data, gathered,
         preferred_element_type=jnp.result_type(A.data.dtype, X.dtype),
+        precision=jax.lax.Precision.HIGHEST,
     )
     Ybr = jax.ops.segment_sum(
         Yb, A.block_row_ids, num_segments=A.nbrow, indices_are_sorted=True
@@ -107,7 +109,8 @@ def spmm_bdia(A: BDIA, X: jax.Array) -> jax.Array:
     for d, off in enumerate(A.offsets):
         Xs = jax.lax.dynamic_slice(Xbp, (off + lo, 0, 0), (nbrow, bs, nrhs))
         acc = acc + jnp.einsum(
-            "nij,njk->nik", A.data[d], Xs, preferred_element_type=out_dtype
+            "nij,njk->nik", A.data[d], Xs, preferred_element_type=out_dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return acc.reshape(nbrow * bs, nrhs)[:nrow]
 

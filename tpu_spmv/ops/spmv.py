@@ -114,6 +114,7 @@ def spmv_bsr(A: BSR, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     yb = jnp.einsum(
         "nij,nj->ni", A.data, gathered,
         preferred_element_type=jnp.result_type(A.data.dtype, x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
     )
     ybr = jax.ops.segment_sum(
         yb, A.block_row_ids, num_segments=A.nbrow, indices_are_sorted=True
@@ -146,7 +147,8 @@ def spmv_bdia(A: BDIA, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     for d, off in enumerate(A.offsets):
         xs = jax.lax.dynamic_slice(xbp, (off + lo, 0), (nbrow, bs))
         acc = acc + jnp.einsum(
-            "nij,nj->ni", A.data[d], xs, preferred_element_type=out_dtype
+            "nij,nj->ni", A.data[d], xs, preferred_element_type=out_dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
     ax = acc.reshape(-1)[:nrow]
     return _finish(ax, y)
