@@ -210,6 +210,15 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
         from .formats import convert as _convert
 
         X = jnp.asarray(rng.random((coo.shape[1], args.spmm)), dtype=dtype)
+        if args.auto:
+            # the planner's native SpMM kernel (streaming-DIA / batched
+            # GPR / PSELL sweep depending on strategy)
+            line = bench_spmm(plan.matrix, X, iters=max(args.iters // 5, 3),
+                              check=not args.no_check, quiet=args.json,
+                              spmm_fn=lambda A_, V: plan.spmm(V),
+                              oracle=host_mat)
+            if args.json:
+                results.append(line)
         for name in formats:
             A = _convert(coo, name)
             line = bench_spmm(A, X, iters=max(args.iters // 5, 3),

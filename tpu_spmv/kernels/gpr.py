@@ -44,8 +44,9 @@ from ..formats.base import sparse_dataclass, static_field
 from ..formats.coo import COO
 from . import permute as _perm
 
-__all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "GPCSRChunked",
-           "pack_gpr_chunked", "spmv_gpr_chunked", "supports"]
+__all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "spmm_gpr", "GPCSRChunked",
+           "pack_gpr_chunked", "spmv_gpr_chunked", "spmm_gpr_chunked",
+           "supports"]
 
 LANES = 128
 #: width-class lane budgets (rows per sublane = 128 // W)
@@ -86,6 +87,12 @@ class GPCSR:
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
     class_tiles: tuple = static_field()
+    #: per-column-block gather operands for ncol > ~3M (x2d cannot stay
+    #: VMEM-resident whole): tuple of (gseg_b, glidx_b) pairs with
+    #: SEGMENT-RELATIVE row ids; () when single-block.
+    gblocks: tuple = ()
+    #: static ((nsub8_b, seg_lo, seg_hi), ...) per column block
+    col_blocks: tuple = static_field(default=())
 
     @property
     def ntiles(self) -> int:
@@ -100,8 +107,16 @@ class GPCSR:
         return self.vals.dtype
 
 
+#: segments (128-column groups) per gather column block: ~11 MB of x2d
+#: VMEM residency per block; ncol beyond one block goes through the
+#: blocked gather (one pallas call per block, outputs concatenate)
+CB_SEGS = 22_000
+
+
 def supports(shape, nnz) -> bool:
-    return shape[1] <= 3_000_000 and nnz <= MAX_NNZ
+    # ncol beyond one VMEM-resident x2d uses the blocked gather; cap the
+    # block count at ~10 (per-block launch cost ~20-30us each)
+    return shape[1] <= CB_SEGS * LANES * 10 and nnz <= MAX_NNZ
 
 
 def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
@@ -230,12 +245,37 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     used_src[src_flat] = True
     perm[free_dst] = np.flatnonzero(~used_src)[: len(free_dst)]
     plan = _perm.plan_permutation_auto(perm)
-    # single-level plans: pad the gather layout to whole plan tiles so the
-    # gather can run INSIDE the plan's stage-1 kernel (one fewer full pass
-    # over the payload + one fewer launch).  Padded slots gather garbage
-    # that only ever reaches dummy destination slots (real destinations
-    # are sourced exclusively from real slots by construction).
-    if isinstance(plan, _perm.PermutationPlan):
+
+    # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
+    col_blocks: tuple = ()
+    gblocks: tuple = ()
+    S_total = -(-ncol // LANES)
+    if S_total > CB_SEGS and nm:
+        bounds = [min(b * CB_SEGS, S_total)
+                  for b in range(-(-S_total // CB_SEGS) + 1)]
+        # real gather sublanes are segment-ascending; padded tail rows are
+        # zeros and excluded from the search
+        subs = np.searchsorted(gseg[:NS], bounds, side="left")
+        cb, gb = [], []
+        for b in range(len(bounds) - 1):
+            lo, hi = int(subs[b]), int(subs[b + 1])
+            if hi <= lo:
+                continue
+            nb8 = -(-(hi - lo) // 8) * 8
+            gs = np.zeros(nb8, dtype=np.int32)
+            gs[: hi - lo] = gseg[lo:hi] - bounds[b]
+            gl = np.zeros((nb8, LANES), dtype=np.int8)
+            gl[: hi - lo] = glidx[lo:hi]
+            cb.append((lo, hi, bounds[b], bounds[b + 1]))
+            gb.append((jnp.asarray(gs), jnp.asarray(gl)))
+        col_blocks = tuple(cb)
+        gblocks = tuple(gb)
+    # single-level plans (single-block only): pad the gather layout to
+    # whole plan tiles so the gather can run INSIDE the plan's stage-1
+    # kernel (one fewer full pass over the payload + one fewer launch).
+    # Padded slots gather garbage that only ever reaches dummy destination
+    # slots (real destinations are sourced exclusively from real slots).
+    if not col_blocks and isinstance(plan, _perm.PermutationPlan):
         rp128 = plan.real_per_tile // LANES
         ns_need = plan.ntiles * rp128
         if ns_need > len(gseg):
@@ -255,9 +295,11 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
         yplan=yplan,
         side=side,
         side_gpr=side_gpr,
+        gblocks=gblocks,
         shape=(int(nrow), int(ncol)),
         nnz=int(nnz),
         class_tiles=tuple(class_tiles),
+        col_blocks=col_blocks,
     )
 
 
@@ -361,7 +403,8 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     plan = A.plan
     rp128 = (plan.real_per_tile // LANES
              if isinstance(plan, _perm.PermutationPlan) else 0)
-    if rp128 and rp128 % 8 == 0 and NS8 == plan.ntiles * rp128:
+    if (rp128 and rp128 % 8 == 0 and NS8 == plan.ntiles * rp128
+            and not A.col_blocks):
         # fused path: gather feeds stage 1 in-register (pack_gpr padded
         # the gather layout to whole plan tiles)
         T = plan.ntiles
@@ -389,31 +432,50 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
         permuted = _perm.apply_stage23_flat(
             plan, z.reshape(T * LANES, LANES), interpret=interpret)
     else:
-        NT = NS8 // 8
-        g_tps = min(TPS, NT)
-        g_steps = -(-NT // g_tps)
-        NTpad = g_steps * g_tps
-        glidx3 = A.glidx.reshape(NT, 8, LANES)
-        gseg_pad = A.gseg
-        if NTpad != NT:
-            glidx3 = jnp.pad(glidx3, ((0, NTpad - NT), (0, 0), (0, 0)))
-            gseg_pad = jnp.pad(A.gseg, (0, (NTpad - NT) * 8))
-        gathered = pl.pallas_call(
-            functools.partial(_gather_kernel, tps=g_tps),
-            out_shape=jax.ShapeDtypeStruct((NTpad, 8, LANES), A.vals.dtype),
-            grid=(g_steps,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(gseg_pad, glidx3, x2d)[:NT]
+        def run_gather(gseg_in, glidx_in, x2d_in):
+            """One gather pallas call over a sublane range (the whole
+            layout, or one column block with its x2d slice)."""
+            NTg = glidx_in.shape[0] // 8
+            g_tps = min(TPS, NTg)
+            g_steps = -(-NTg // g_tps)
+            NTpad = g_steps * g_tps
+            gl3 = glidx_in.reshape(NTg, 8, LANES)
+            gs = gseg_in
+            if NTpad != NTg:
+                gl3 = jnp.pad(gl3, ((0, NTpad - NTg), (0, 0), (0, 0)))
+                gs = jnp.pad(gseg_in, (0, (NTpad - NTg) * 8))
+            return pl.pallas_call(
+                functools.partial(_gather_kernel, tps=g_tps),
+                out_shape=jax.ShapeDtypeStruct((NTpad, 8, LANES),
+                                               A.vals.dtype),
+                grid=(g_steps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((g_tps, 8, LANES), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((g_tps, 8, LANES),
+                                       lambda t: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(gs, gl3, x2d_in)[:NTg]
 
-        flat = gathered.reshape(-1)
+        if A.col_blocks:
+            # blocked gather: one call per column block, each with its
+            # segment-relative ids and its x2d slice VMEM-resident
+            outs = []
+            for (lo, hi, slo, shi), (gs_b, gl_b) in zip(A.col_blocks,
+                                                        A.gblocks):
+                x2d_b = jax.lax.slice_in_dim(x2d, slo, shi)
+                gath = run_gather(gs_b, gl_b, x2d_b)
+                outs.append(gath.reshape(-1, LANES)[: hi - lo])
+            rows = jnp.concatenate(outs)                  # [NS_real, 128]
+            if rows.shape[0] < NS8:
+                rows = jnp.pad(rows, ((0, NS8 - rows.shape[0]), (0, 0)))
+            flat = rows.reshape(-1)
+        else:
+            flat = run_gather(A.gseg, A.glidx, x2d).reshape(-1)
         if A.plan.n > flat.shape[0]:
             flat = jnp.pad(flat, (0, A.plan.n - flat.shape[0]))
         permuted = _perm.apply_permutation(A.plan, flat,
@@ -439,6 +501,172 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
         from ..ops.spmv import spmv_coo
 
         y = spmv_coo(A.side, x.astype(A.vals.dtype), y=y)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# GPR SpMM: the whole pipeline batched over right-hand sides
+# ---------------------------------------------------------------------------
+
+
+def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref, a1_ref,
+                                a2_ref, a3_ref, o_ref, *, rp128):
+    t = pl.program_id(1)
+    for q2 in range(x3_ref.shape[0]):
+        groups = []
+        for g in range(rp128 // 8):
+            base = t * rp128 + g * 8
+            tile = jnp.stack([x3_ref[q2, gseg_ref[base + i], :]
+                              for i in range(8)])
+            idx = glidx_ref[g * 8:(g + 1) * 8].astype(jnp.int32)
+            groups.append(jnp.take_along_axis(tile, idx, axis=1))
+        z = jnp.concatenate(groups, axis=0)
+        if rp128 < LANES:
+            z = jnp.pad(z, ((0, LANES - rp128), (0, 0)))
+        o_ref[q2, 0] = _perm._gtgtg(z, a1_ref[0], a2_ref[0], a3_ref[0])
+
+
+def _reduce_step_rhs_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
+    prod = (vals_ref[:] * g_ref[0]).reshape(tps * 8, LANES)
+    out = lax.dot_general(
+        prod, mask_ref[:], (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=prod.dtype,
+    )
+    o_ref[0] = out.reshape(tps, 8, k)
+
+
+def _reduce_all_classes_batched(vals, g4, class_tiles, interpret):
+    """Batched per-class reduce: grid (steps, nrhs) with the rhs minor so
+    each step's vals block stays resident across the whole batch."""
+    nrhs = int(g4.shape[0])
+    parts = []
+    off = 0
+    for W, T_c, rows_c in class_tiles:
+        if T_c == 0:
+            continue
+        k_c = LANES // W
+        lane_ids = np.arange(LANES) // W
+        mask = jnp.asarray(
+            lane_ids[:, None] == np.arange(k_c)[None, :], dtype=vals.dtype)
+        v_c = vals[off: off + T_c]
+        g_c = g4[:, off: off + T_c]
+        tps = min(REDUCE_TPS, T_c)
+        steps = -(-T_c // tps)
+        Tpad = steps * tps
+        if Tpad != T_c:
+            v_c = jnp.pad(v_c, ((0, Tpad - T_c), (0, 0), (0, 0)))
+            g_c = jnp.pad(g_c, ((0, 0), (0, Tpad - T_c), (0, 0), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_reduce_step_rhs_kernel, tps=tps, k=k_c),
+            out_shape=jax.ShapeDtypeStruct((nrhs, Tpad, 8, k_c),
+                                           vals.dtype),
+            grid=(steps, nrhs),
+            in_specs=[
+                pl.BlockSpec((tps, 8, LANES), lambda s, q: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tps, 8, LANES),
+                             lambda s, q: (q, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tps, 8, k_c),
+                                   lambda s, q: (q, s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v_c, g_c, mask)
+        parts.append(out[:, :T_c].reshape(nrhs, -1)[:, :rows_c])
+        off += T_c
+    return parts
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
+             ) -> jax.Array:
+    """``A @ X`` for ``X [ncol, nrhs]`` — the pipeline batched over rhs.
+
+    Every stage runs as ONE launch with an (rhs, tiles) grid ordered so
+    the expensive loop-invariant operand stays VMEM-resident: the x2d
+    plane per rhs in the fused gather/stage-1, the exchange buffer per
+    rhs in stage 2+3, the values block per step in the reduce.  Compared
+    to ``lax.map`` over per-rhs SpMVs this amortizes both the per-launch
+    fixed cost (~90us x nrhs) and the index-plane traffic.
+
+    Falls back to the mapped per-rhs pipeline when the pack is not
+    stage-1-fusable (two-level plans).
+    """
+    nrow, ncol = A.shape
+    nrhs = int(X.shape[1])
+    plan = A.plan
+    rp128 = (plan.real_per_tile // LANES
+             if isinstance(plan, _perm.PermutationPlan) else 0)
+    # measured on chip (700k nnz): the batched pipeline wins up to
+    # nrhs ~16 (1.34 ms vs 1.55 ms at 8); past that its stage-2 exchange
+    # buffer cycling loses to the mapped per-rhs pipeline (8.2 vs 6.2 ms
+    # at 32) — the per-element VPU work dominates either way
+    fusable = (rp128 and rp128 % 8 == 0
+               and A.nsub == plan.ntiles * rp128 and not A.col_blocks
+               and nrhs <= 16)
+    if not fusable:
+        cols = jax.lax.map(
+            lambda v: spmv_gpr(A, v, interpret=interpret), X.T)
+        y = cols.T
+    else:
+        S = -(-ncol // LANES)
+        Xt = X.T.astype(A.vals.dtype)                     # [nrhs, ncol]
+        if S * LANES != ncol:
+            Xt = jnp.pad(Xt, ((0, 0), (0, S * LANES - ncol)))
+        x3 = Xt.reshape(nrhs, S, LANES)
+        T = plan.ntiles
+        # rhs per grid step: as many x planes as ~4 MB of VMEM allows —
+        # fat steps keep the (rhs, tiles) grid near the unbatched step
+        # count (skinny 1-rhs steps made SpMM SLOWER than nrhs SpMVs)
+        qb = max(1, min(_perm.QB_S1, (4 << 20) // (S * LANES * 4), nrhs))
+        nq = -(-nrhs // qb)
+        if nq * qb != nrhs:
+            x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
+        t_plane = pl.BlockSpec((1, LANES, LANES), lambda qg, t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        z = pl.pallas_call(
+            functools.partial(_fused_gather_s1_rhs_kernel, rp128=rp128),
+            out_shape=jax.ShapeDtypeStruct((nq * qb, T, LANES, LANES),
+                                           A.vals.dtype),
+            grid=(nq, T),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
+                pl.BlockSpec((rp128, LANES), lambda qg, t: (t, 0),
+                             memory_space=pltpu.VMEM),       # glidx
+                pl.BlockSpec((qb, S, LANES), lambda qg, t: (qg, 0, 0),
+                             memory_space=pltpu.VMEM),       # x planes
+                t_plane, t_plane, t_plane,
+            ],
+            out_specs=pl.BlockSpec((qb, 1, LANES, LANES),
+                                   lambda qg, t: (qg, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(A.gseg, A.glidx, x3, plan.a1, plan.a2, plan.a3)[:nrhs]
+        permuted = _perm.apply_stage23_flat_batched(
+            plan, z.reshape(nrhs, T * LANES, LANES), interpret=interpret)
+        Ttot = A.ntiles
+        g4 = permuted[:, : Ttot * 8 * LANES].reshape(nrhs, Ttot, 8, LANES)
+        parts = _reduce_all_classes_batched(A.vals, g4, A.class_tiles,
+                                            interpret)
+        y_sorted = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else (parts[0] if parts
+                          else jnp.zeros((nrhs, nrow), A.vals.dtype)))
+        if y_sorted.shape[1] < nrow:
+            y_sorted = jnp.pad(y_sorted,
+                               ((0, 0), (0, nrow - y_sorted.shape[1])))
+        if A.yplan is not None:
+            y_sorted = _perm.apply_permutation_batched(
+                A.yplan, y_sorted, interpret=interpret)
+        y = y_sorted.T                                     # [nrow, nrhs]
+    if A.side_gpr is not None:
+        y = y + spmm_gpr(A.side_gpr, X, interpret=interpret)
+    if A.side.nnz:
+        from ..ops.spmm import spmm_coo
+
+        y = y + spmm_coo(A.side, X.astype(A.vals.dtype))
     return y
 
 
@@ -500,4 +728,12 @@ def spmv_gpr_chunked(A: GPCSRChunked, x: jax.Array, *,
                      interpret: bool = False) -> jax.Array:
     """``A @ x`` over row chunks; outputs concatenate in row order."""
     parts = [spmv_gpr(c, x, interpret=interpret) for c in A.chunks]
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_gpr_chunked(A: GPCSRChunked, X: jax.Array, *,
+                     interpret: bool = False) -> jax.Array:
+    """``A @ X`` over row chunks (each chunk runs the batched pipeline)."""
+    parts = [spmm_gpr(c, X, interpret=interpret) for c in A.chunks]
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]

@@ -37,7 +37,8 @@ __all__ = ["color_bipartite", "color_bipartite_tiles",
            "plan_tile_permutation", "apply_tile_permutation",
            "permute_reference", "PermutationPlan", "plan_permutation",
            "TwoLevelPlan", "plan_permutation_two_level",
-           "plan_permutation_auto", "apply_permutation"]
+           "plan_permutation_auto", "apply_permutation",
+           "apply_permutation_batched", "apply_stage23_flat"]
 
 Q = 128
 
@@ -602,6 +603,124 @@ def apply_stage23_flat(plan: PermutationPlan, z: jax.Array, *,
         interpret=interpret,
     )(plan.rowsrc, z, plan.b1, plan.b2, plan.b3)
     return out.reshape(T, TILE)[:, :r_p].reshape(-1)[: plan.n]
+
+
+#: rhs per stage-1 grid step / tiles per stage-2+3 grid step: fat blocks
+#: keep the (batch x tiles) grids near the unbatched step count — a grid
+#: of nrhs*T skinny steps pays the ~1-2us/step fixed cost 32x over
+QB_S1 = 8
+TB_S23 = 8
+
+
+def _stage1_batched_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
+    for q2 in range(x_ref.shape[0]):
+        o_ref[q2, 0] = _gtgtg(x_ref[q2, 0], g1_ref[0], g2_ref[0],
+                              g3_ref[0])
+
+
+def _stage23_batched_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref,
+                            o_ref, *, tb):
+    t0 = pl.program_id(1) * tb
+    for i in range(tb):
+
+        def stack8(s, i=i):
+            base = (t0 + i) * Q + s * 8
+            return jnp.stack([z_ref[0, rowsrc_ref[base + j], :]
+                              for j in range(8)])
+
+        z = jnp.concatenate([stack8(s) for s in range(Q // 8)], axis=0)
+        o_ref[0, i] = _gtgtg(z, g1_ref[i], g2_ref[i], g3_ref[i])
+
+
+def apply_permutation_batched(plan, X: jax.Array, *,
+                              interpret: bool = False) -> jax.Array:
+    """Apply one routed permutation to a BATCH: ``X [nrhs, plan.n]`` →
+    same shape, each row permuted identically.
+
+    The batch dimension leads the grid with the tile dimension minor, so
+    each rhs's stage-2 exchange buffer stays VMEM-resident across its
+    tile sweep while the (int8) planes cycle — the index/plane traffic of
+    one pass amortizes across the batch far better than ``lax.map`` over
+    per-rhs applies (which also pays the launch fixed cost per rhs).
+    Used by the SpMM pipelines.
+    """
+    if isinstance(plan, TwoLevelPlan):
+        mid = apply_permutation_batched(plan.plan_a, X, interpret=interpret)
+        return apply_permutation_batched(plan.plan_b, mid,
+                                         interpret=interpret)
+    nrhs = int(X.shape[0])
+    T = plan.ntiles
+    r_p = plan.real_per_tile
+    Xf = X
+    if T * r_p != plan.n:
+        Xf = jnp.pad(Xf, ((0, 0), (0, T * r_p - plan.n)))
+    x4 = Xf.reshape(nrhs, T, r_p)
+    if r_p != TILE:
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, TILE - r_p)))
+    x4 = x4.reshape(nrhs, T, Q, Q)
+    qb = min(QB_S1, nrhs)
+    nq = -(-nrhs // qb)
+    if nq * qb != nrhs:
+        x4 = jnp.pad(x4, ((0, nq * qb - nrhs), (0, 0), (0, 0), (0, 0)))
+    t_plane = pl.BlockSpec((1, Q, Q), lambda qg, t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    z = pl.pallas_call(
+        _stage1_batched_kernel,
+        out_shape=jax.ShapeDtypeStruct((nq * qb, T, Q, Q), x4.dtype),
+        grid=(nq, T),
+        in_specs=[
+            pl.BlockSpec((qb, 1, Q, Q), lambda qg, t: (qg, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            t_plane, t_plane, t_plane,
+        ],
+        out_specs=pl.BlockSpec((qb, 1, Q, Q), lambda qg, t: (qg, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x4, plan.a1, plan.a2, plan.a3)[:nrhs]
+    return apply_stage23_flat_batched(plan, z.reshape(nrhs, T * Q, Q),
+                                      interpret=interpret)
+
+
+def apply_stage23_flat_batched(plan: PermutationPlan, z: jax.Array, *,
+                               interpret: bool = False) -> jax.Array:
+    """Batched stages 2+3: ``z [nrhs, T*Q, Q]`` → flat ``[nrhs, plan.n]``.
+    Each rhs's exchange buffer is VMEM-resident across its tile sweep
+    (envelope: ``T*Q*Q*4*2 <= ~12 MB`` → T up to ~140 tiles); tiles run
+    ``TB_S23`` per grid step so the step count stays near the unbatched
+    pass's."""
+    nrhs = int(z.shape[0])
+    T = plan.ntiles
+    r_p = plan.real_per_tile
+    tb = min(TB_S23, T)
+    nt = -(-T // tb)
+    Tp = nt * tb
+    b1, b2, b3, rowsrc, zp = plan.b1, plan.b2, plan.b3, plan.rowsrc, z
+    if Tp != T:
+        pad_t = ((0, Tp - T), (0, 0), (0, 0))
+        b1, b2, b3 = (jnp.pad(b, pad_t) for b in (b1, b2, b3))
+        # padded tiles self-read row 0 (harmless: output sliced away)
+        rowsrc = jnp.pad(rowsrc, (0, (Tp - T) * Q))
+    out = pl.pallas_call(
+        _functools.partial(_stage23_batched_kernel, tb=tb),
+        out_shape=jax.ShapeDtypeStruct((nrhs, Tp, Q, Q), z.dtype),
+        grid=(nrhs, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # rowsrc
+            pl.BlockSpec((1, T * Q, Q), lambda q, tg: (q, 0, 0),
+                         memory_space=pltpu.VMEM),           # z, per-q
+            pl.BlockSpec((tb, Q, Q), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, Q, Q), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, Q, Q), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, Q, Q), lambda q, tg: (q, tg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rowsrc, zp, b1, b2, b3)
+    return out[:, :T].reshape(nrhs, T, TILE)[:, :, :r_p].reshape(
+        nrhs, -1)[:, : plan.n]
 
 
 def apply_permutation(plan, x, *, interpret: bool = False):

@@ -133,6 +133,31 @@ class SpmvPlan:
     def __call__(self, x, y=None):
         return self._kernel(self.matrix, x, y)
 
+    def spmm(self, X):
+        """Multi-RHS product with the strategy's SpMM kernel (falls back
+        to the XLA per-format SpMM for strategies without a native one)."""
+        import jax
+
+        interp = jax.devices()[0].platform == "cpu"
+        if self.strategy == "dia_stream":
+            from ..kernels import dia_stream
+
+            return dia_stream.spmm_sdia(self.matrix, X, interpret=interp)
+        if self.strategy == "gpr":
+            from ..kernels import gpr as _gpr
+
+            fn = (_gpr.spmm_gpr_chunked
+                  if isinstance(self.matrix, _gpr.GPCSRChunked)
+                  else _gpr.spmm_gpr)
+            return fn(self.matrix, X, interpret=interp)
+        if self.strategy == "pallas_ell":
+            from ..kernels import ell_pallas
+
+            return ell_pallas.spmm_pallas(self.matrix, X, interpret=interp)
+        from .spmm import spmm as _spmm
+
+        return _spmm(self.matrix, X)
+
 
 def _kernel_for_strategy(strategy: str) -> Callable:
     """The SpMV callable matching a strategy name (shared by
