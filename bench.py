@@ -126,6 +126,46 @@ def verify_stencil_big(A, x, g: int, spmv_fn=None) -> float:
     return float(check(A, x, spmv_fn or ts.spmv))
 
 
+def bench_spmm_configs(A_dia, xp_scale) -> dict:
+    """BASELINE config 3: 32-RHS SpMM, structured (streaming DIA) and
+    general (GPR, below) — both vs their XLA fallbacks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import time_chained
+    from tpu_spmv.kernels import dia_stream
+
+    NRHS = 32
+    # smaller tiles for the multi-RHS working set (VMEM budget: blocks
+    # scale with rb*nrhs)
+    S32 = dia_stream.pack_sdia(A_dia, rb=4096)
+    n = A_dia.shape[0]
+    # operands live in TRANSPOSED [nrhs, n] layout: [n, 32] would pad
+    # lanes 32 -> 128 (4x = 8 GB at this size)
+    Xt = jax.random.uniform(jax.random.PRNGKey(7), (NRHS, S32.npad),
+                            jnp.float32)
+    Xt = Xt.at[:, :S32.L].set(0).at[:, S32.L + n:].set(0)
+    # verify: row 0 must match the SpMV kernel on the same vector
+    y0 = dia_stream.spmv_sdia_padded(S32, Xt[0])
+    Yt = dia_stream.spmm_sdia_padded_t(S32, Xt)
+    rel = float(jnp.max(jnp.abs(Yt[0] - y0)) / jnp.max(jnp.abs(y0)))
+    assert rel < 2e-5, f"spmm_sdia vs spmv mismatch: {rel:.3e}"
+    dt = time_chained(
+        lambda C, Ad: dia_stream.spmm_sdia_padded_t(Ad, C) * xp_scale, Xt,
+        iters=40, warm=4, operands=(S32,))
+    gflops = 2 * A_dia.nnz * NRHS / dt / 1e9
+    log(f"### CSR SPMM{NRHS} GFLOPS = {gflops:.5f}")
+    log(f"bench: poisson spmm_sdia {dt * 1e3:.2f} ms/iter "
+        f"({gflops:.0f} GFLOP/s)")
+    return {
+        "nrhs": NRHS,
+        "ms_per_spmm": round(dt * 1e3, 3),
+        "gflops": round(gflops, 2),
+        "rel_vs_spmv": rel,
+    }
+
+
 def bench_gpr(measured_peak_gbps: float) -> dict:
     """Second metric: GPR vs the XLA fallback on a 700k-nnz random matrix."""
     import numpy as np
@@ -164,6 +204,17 @@ def bench_gpr(measured_peak_gbps: float) -> dict:
     log(f"### GPR TPU GFLOPS = {gflops:.5f}")
     log(f"bench: gpr {gpr_dt * 1e6:.0f} us/iter vs xla csr "
         f"{xla_dt * 1e3:.2f} ms/iter -> {speedup:.1f}x")
+
+    # general-pattern 32-RHS SpMM (BASELINE config 3): the mapped GPR
+    # pipeline (measured 1.1x the XLA segment-sum SpMM — the per-element
+    # VPU work dominates at this nrhs; the XLA comparison is dropped from
+    # the default run to keep wall time down)
+    NRHS = 32
+    Xb = jnp.asarray(rng.random((n, NRHS)), jnp.float32)
+    spmm_dt = time_chained(lambda C, A: gpr.spmm_gpr(A, C) * scale, Xb,
+                           iters=10, warm=2, operands=(gp,))
+    log(f"bench: gpr spmm{NRHS} {spmm_dt * 1e3:.2f} ms/iter")
+
     return {
         "gflops": round(gflops, 3),
         "us_per_spmv": round(gpr_dt * 1e6, 1),
@@ -172,6 +223,8 @@ def bench_gpr(measured_peak_gbps: float) -> dict:
         "nnz": int(sp_mat.nnz),
         "rel_err": rel,
         "pack_s": round(pack_s, 2),
+        "spmm32_ms": round(spmm_dt * 1e3, 3),
+        "spmm32_gflops": round(2 * sp_mat.nnz * NRHS / spmm_dt / 1e9, 2),
     }
 
 
@@ -237,25 +290,28 @@ def main() -> int:
         f"(xla dia: {xla_dt * 1e3:.3f} ms/iter)")
 
     # --- distributed parity on one chip: the same matrix through the
-    # sharded-DIA shard_map path (ndev=1) must cost ~the same
+    # sharded streaming-DIA shard_map path (ndev=1) must cost ~the same
     from tpu_spmv import dist
 
     mesh1 = dist.make_mesh(1)
-    S = dist.ShardedDIA(data=A.data[None], offsets=A.offsets, shape=A.shape,
-                        nnz=A.nnz)
-    xs = dist.ShardedVector(chunks=x[None], starts=(0, n), length=n)
+    Ss = dist.ShardedSDIA.build(S, 1)
+    xds = Ss.shard_xpad(xp)
 
     def dist_step(vs, Sd):
-        y = dist.spmv_dia_sharded(mesh1, Sd, vs)
+        y = dist.spmv_sdia_sharded(mesh1, Sd, vs)
         return dist.ShardedVector(chunks=y.chunks * scale, starts=vs.starts,
                                   length=vs.length)
 
-    dist_dt = time_chained(dist_step, xs, iters=200, warm=10, operands=(S,))
+    dist_dt = time_chained(dist_step, xds, iters=200, warm=10,
+                           operands=(Ss,))
     parity = dist_dt / dt
-    log(f"bench: dist(ndev=1) {dist_dt * 1e3:.3f} ms/iter "
-        f"({parity:.2f}x the plain kernel)")
+    log(f"bench: dist(ndev=1, streaming local kernel) "
+        f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain kernel)")
 
-    # --- second metric: GPR on a random pattern ---
+    # --- SpMM (BASELINE config 3), structured case ---
+    spmm_detail = bench_spmm_configs(A, scale)
+
+    # --- second metric: GPR on a random pattern (+ general SpMM) ---
     gpr_detail = bench_gpr(measured_peak_gbps)
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
@@ -276,6 +332,7 @@ def main() -> int:
             "device": dev.device_kind,
             "dist1_ms_per_spmv": round(dist_dt * 1e3, 4),
             "dist1_parity": round(parity, 3),
+            "spmm": spmm_detail,
             "gpr": gpr_detail,
         },
     }))

@@ -20,7 +20,7 @@ def mesh():
 def _global_spmv(plan, mesh, mat, x):
     xs = plan.shard_x(x, dtype=np.float32)
     y = plan.spmv(mesh, xs)
-    return y.to_global()
+    return plan.y_to_global(y)
 
 
 def _ref(mat, x):
@@ -122,3 +122,26 @@ def test_bench_dist_spmv(mesh, capsys):
     assert r["gflops"] > 0
     out = capsys.readouterr().out
     assert "### CSR DIST8 GFLOPS" in out
+
+
+def test_sdia_sharded_oracle(mesh, rng):
+    # the streaming-DIA local kernel inside shard_map (ring tile halo)
+    mat = utils.banded(5000, 6, seed=31)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="dia_stream", sdia_rb=256)
+    assert plan.strategy == "dia_stream"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_sdia_sharded_chainable(mesh, rng):
+    # y chunks share the padded x layout, so distributed chains close
+    mat = utils.laplacian_2d(40, 40)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="dia_stream", sdia_rb=256)
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    xs = plan.shard_x(x, dtype=np.float32)
+    y1 = plan.spmv(mesh, xs)
+    y2 = plan.spmv(mesh, y1)           # feed y straight back in
+    ref = mat.astype(np.float64) @ (mat.astype(np.float64) @ x)
+    _assert_close(plan.y_to_global(y2), ref)

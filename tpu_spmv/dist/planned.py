@@ -50,9 +50,9 @@ from ..formats.bdia import BDIA
 from .partition import RowPlan, plan_uniform
 from .sharded import HaloCSR, ShardedVector
 
-__all__ = ["ShardedDIA", "ShardedBDIA", "spmv_dia_sharded",
-           "spmv_bdia_sharded", "DistPlan", "plan_dist_spmv",
-           "bench_dist_spmv"]
+__all__ = ["ShardedDIA", "ShardedBDIA", "ShardedSDIA",
+           "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
+           "DistPlan", "plan_dist_spmv", "bench_dist_spmv"]
 
 
 @sparse_dataclass
@@ -252,6 +252,153 @@ def spmv_bdia_sharded(mesh: Mesh, A: ShardedBDIA, x: ShardedVector,
                          length=A.shape[0])
 
 
+@sparse_dataclass
+class ShardedSDIA:
+    """Row-sharded STREAMING DIA: the large-matrix local kernel.
+
+    The XLA shifted-FMA local body of :class:`ShardedDIA` drops to ~45%
+    of roofline once the per-shard working set leaves VMEM; this
+    container shards the :class:`~tpu_spmv.kernels.dia_stream.SDIA`
+    padded-tile row space in whole-``rb``-tile chunks and runs the
+    streaming Pallas kernel per shard against a ring halo of one ``rb``
+    tile per side.  Global pad tiles (structurally zero data) make the
+    ring's wrap-around reads harmless, exactly as in the single-chip
+    kernel.  x/y chunks share the padded layout, so distributed chains
+    (CG, power iteration) feed y straight back in.
+    """
+
+    data: jax.Array                       # [ndev, ndiags, Cp]
+    offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+    L: int = static_field()               # global front pad rows
+    rb: int = static_field()
+
+    @property
+    def ndev(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def rows_per_shard(self) -> int:
+        return int(self.data.shape[2])
+
+    @property
+    def npad(self) -> int:
+        return self.ndev * self.rows_per_shard
+
+    # padded-row-space plan (for ShardedVector chunking)
+    @property
+    def pad_plan(self) -> RowPlan:
+        C = self.rows_per_shard
+        return RowPlan(tuple(i * C for i in range(self.ndev + 1)),
+                       self.ndev, self.npad)
+
+    @staticmethod
+    def build(sdia, ndev: int) -> "ShardedSDIA":
+        from ..kernels.dia_stream import SDIA  # noqa: F401 (typing aid)
+
+        rb = sdia.rb
+        band = max(max(abs(o) for o in sdia.offsets), 0)
+        if band > rb:
+            raise ValueError(f"band {band} exceeds tile {rb}")
+        T = sdia.npad // rb
+        Tper = -(-T // ndev)
+        Cp = Tper * rb
+        data = sdia.data
+        pad = ndev * Cp - sdia.npad
+        if pad:
+            data = jnp.pad(data, ((0, 0), (0, pad)))
+        stacked = jnp.transpose(
+            data.reshape(data.shape[0], ndev, Cp), (1, 0, 2))
+        return ShardedSDIA(
+            data=stacked, offsets=sdia.offsets, shape=sdia.shape,
+            nnz=sdia.nnz, L=sdia.L, rb=rb,
+        )
+
+    def shard_xpad(self, xpad: jax.Array) -> ShardedVector:
+        """Split a padded-row-space vector (``kernels.dia_stream.pad_x``
+        layout, then zero-extended to ``npad``) into shard chunks."""
+        if xpad.shape[0] < self.npad:
+            xpad = jnp.pad(xpad, (0, self.npad - xpad.shape[0]))
+        return ShardedVector(
+            chunks=xpad.reshape(self.ndev, self.rows_per_shard),
+            starts=self.pad_plan.starts, length=self.npad)
+
+    def unshard_y(self, y: ShardedVector) -> np.ndarray:
+        """Global ``[nrow]`` result from padded shard chunks (host)."""
+        flat = np.asarray(y.chunks).reshape(-1)
+        return flat[self.L: self.L + self.shape[0]]
+
+
+def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
+                      *, axis: str = "x", interpret: bool = False
+                      ) -> ShardedVector:
+    """Row-sharded streaming-DIA SpMV in padded row space.
+
+    Each shard ships one ``rb``-tile sliver to each ring neighbor
+    (2·rb elements of ICI traffic — independent of the shard size), then
+    runs the streaming Pallas kernel over ``[left | own | right]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndev = A.ndev
+    rb = A.rb
+    Cp = A.rows_per_shard
+    Tloc = Cp // rb
+    nd = int(A.data.shape[1])
+    offsets = A.offsets
+
+    def run_body(A_loc: ShardedSDIA, x_loc: ShardedVector):
+        xc = x_loc.chunks[0]                         # [Cp]
+        tail = jax.lax.slice_in_dim(xc, Cp - rb, Cp)
+        head = jax.lax.slice_in_dim(xc, 0, rb)
+        if ndev == 1:
+            left, right = tail, head
+        else:
+            to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+            to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+            left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
+            right = lax.ppermute(head, axis, to_left)   # right nbr's head
+        x_ext = jnp.concatenate([left, xc, right])       # [Cp + 2rb]
+        TE = Tloc + 2
+        from ..kernels.dia_stream import _kernel as _sdia_kernel
+
+        # the single-chip streaming kernel body with h == rb: the halo
+        # slivers ARE whole rb tiles here (the ring ships exactly one)
+        y = pl.pallas_call(
+            functools.partial(_sdia_kernel, offsets=offsets, rb=rb, h=rb),
+            out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.data.dtype),
+            grid=(Tloc,),
+            in_specs=[
+                pl.BlockSpec((nd, rb), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb,), lambda j: (jnp.clip(j, 0, TE - 1),),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb,), lambda j: (j + 1,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb,), lambda j: (jnp.clip(j + 2, 0, TE - 1),),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rb,), lambda j: (j,),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(A_loc.data[0], x_ext, x_ext, x_ext)
+        return y[None]
+
+    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=P(axis))
+    try:
+        # pallas_call outputs carry no varying-mesh-axis annotation; turn
+        # the shard_map vma check off (jax >= 0.6 name, older: check_rep)
+        run = _shard_map(run_body, check_vma=False, **smap_kwargs)
+    except TypeError:  # pragma: no cover
+        run = _shard_map(run_body, check_rep=False, **smap_kwargs)
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.pad_plan.starts,
+                         length=A.npad)
+
+
 # ---------------------------------------------------------------------------
 # The distributed planner
 # ---------------------------------------------------------------------------
@@ -267,18 +414,35 @@ class DistPlan:
     """
 
     matrix: object
-    strategy: str              # "dia" | "bdia" | "csr_halo"
+    strategy: str              # "dia" | "dia_stream" | "bdia" | "csr_halo"
     x_plan: RowPlan
     row_plan: RowPlan
 
     def shard_x(self, x, dtype=None) -> ShardedVector:
+        if self.strategy == "dia_stream":
+            # padded-tile row space: x[k - L] at padded position k
+            S = self.matrix
+            xp = np.zeros(S.npad, dtype=dtype or np.asarray(x).dtype)
+            xp[S.L: S.L + len(x)] = np.asarray(x)
+            return ShardedVector.from_global(xp, self.x_plan, dtype=dtype)
         return ShardedVector.from_global(np.asarray(x), self.x_plan,
                                          dtype=dtype)
+
+    def y_to_global(self, y: ShardedVector) -> np.ndarray:
+        g = y.to_global()
+        if self.strategy == "dia_stream":
+            S = self.matrix
+            return g[S.L: S.L + S.shape[0]]
+        return g
 
     def spmv(self, mesh: Mesh, x: ShardedVector, *,
              axis: str = "x") -> ShardedVector:
         if self.strategy == "dia":
             return spmv_dia_sharded(mesh, self.matrix, x, axis=axis)
+        if self.strategy == "dia_stream":
+            interp = jax.devices()[0].platform == "cpu"
+            return spmv_sdia_sharded(mesh, self.matrix, x, axis=axis,
+                                     interpret=interp)
         if self.strategy == "bdia":
             return spmv_bdia_sharded(mesh, self.matrix, x, axis=axis)
         from .spmv import spmv_halo
@@ -287,13 +451,17 @@ class DistPlan:
 
 
 def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
-                   strategy: str | None = None) -> DistPlan:
+                   strategy: str | None = None,
+                   sdia_rb: int | None = None) -> DistPlan:
     """Analyze on host, shard with the matching fast local kernel.
 
     Same storage-ratio heuristics as the single-chip planner
     (:func:`tpu_spmv.ops.auto.plan_spmv`): DIA/BDIA when the pattern is
-    (block-)banded enough to stream, else the bucketed ``HaloCSR``
-    segment-sum fallback.  ``strategy`` forces a choice.
+    (block-)banded enough to stream — with the streaming Pallas local
+    kernel (``dia_stream``) once the per-shard working set clearly
+    exceeds VMEM — else the bucketed ``HaloCSR`` segment-sum fallback.
+    ``strategy`` forces a choice; ``sdia_rb`` overrides the streaming
+    tile size (tests use small tiles).
     """
     from ..formats import convert
     from ..formats.csr import CSR
@@ -309,17 +477,33 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
         sharded = ShardedDIA.build(dia, ndev)     # raises if band > chunk
         return DistPlan(sharded, "dia", sharded.x_plan, sharded.row_plan)
 
+    def try_sdia():
+        from ..kernels import dia_stream
+
+        dia = convert(coo, "dia")
+        sd = dia_stream.pack_sdia(dia, rb=sdia_rb or dia_stream.RB)
+        sharded = ShardedSDIA.build(sd, ndev)
+        return DistPlan(sharded, "dia_stream", sharded.pad_plan,
+                        sharded.pad_plan)
+
     def try_bdia():
         bdia = convert(coo, "bdia", block_size=8)
         sharded = ShardedBDIA.build(bdia, ndev)
         return DistPlan(sharded, "bdia", sharded.x_plan, sharded.row_plan)
 
-    if strategy in ("dia", "bdia"):
-        return try_dia() if strategy == "dia" else try_bdia()
+    if strategy in ("dia", "bdia", "dia_stream"):
+        return {"dia": try_dia, "bdia": try_bdia,
+                "dia_stream": try_sdia}[strategy]()
     if strategy is None and square and stats.nnz:
         dia_storage = stats.ndiags * stats.nrow
         bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
         if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
+            itemsize = np.dtype(dtype or np.float32).itemsize
+            if dia_storage * itemsize > 32 * (1 << 20) * ndev:
+                try:
+                    return try_sdia()
+                except ValueError:
+                    pass
             try:
                 return try_dia()
             except ValueError:
@@ -366,7 +550,7 @@ def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
     if check:
         y = plan.spmv(mesh, xs, axis=axis)
         y_ref = host @ x.astype(np.float64)
-        rel = float(np.max(np.abs(y.to_global() - y_ref))
+        rel = float(np.max(np.abs(plan.y_to_global(y) - y_ref))
                     / max(np.max(np.abs(y_ref)), 1e-300))
         gate = 1e-10 if x.dtype == np.float64 else 2e-5
         if rel > gate:

@@ -40,7 +40,7 @@ from ..formats.base import sparse_dataclass, static_field
 from ..formats.dia import DIA
 
 __all__ = ["SDIA", "pack_sdia", "spmv_sdia_padded", "spmv_sdia",
-           "spmm_sdia_padded", "spmm_sdia", "supports_sdia"]
+           "spmm_sdia_padded_t", "spmm_sdia", "supports_sdia"]
 
 #: rows per grid tile (multiple of 1024; |offset| must not exceed it)
 RB = 16384
@@ -169,63 +169,75 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
 
 
 def _spmm_kernel(data_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h):
-    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=0)
-    acc = data_ref[0][:, None] * jax.lax.slice_in_dim(
-        win, h + offsets[0], h + offsets[0] + rb, axis=0)
+    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
+    acc = data_ref[0][None, :] * jax.lax.slice_in_dim(
+        win, h + offsets[0], h + offsets[0] + rb, axis=1)
     for d, off in enumerate(offsets[1:], start=1):
-        acc = acc + data_ref[d][:, None] * jax.lax.slice_in_dim(
-            win, h + off, h + off + rb, axis=0)
+        acc = acc + data_ref[d][None, :] * jax.lax.slice_in_dim(
+            win, h + off, h + off + rb, axis=1)
     o_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spmm_sdia_padded(A: SDIA, Xpad: jax.Array, *,
-                     interpret: bool = False) -> jax.Array:
-    """``Ypad = A @ Xpad`` for multi-RHS ``Xpad [npad, nrhs]``.
+def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array, *,
+                       interpret: bool = False) -> jax.Array:
+    """``Yt_pad = (A @ Xt_pad.T).T`` for TRANSPOSED multi-RHS operands
+    ``[nrhs, npad]``.
 
-    Same streaming structure as :func:`spmv_sdia_padded`; the RHS block
-    rides the lane dimension, so every diagonal's FMA is a ``[rb, nrhs]``
-    elementwise pass — arithmetic intensity grows with ``nrhs`` while the
-    diagonal-data traffic is unchanged (the whole point of SpMM on this
-    hardware, BASELINE config 3).
+    The transposed layout is load-bearing, not cosmetic: a ``[n, nrhs]``
+    array with ``nrhs < 128`` pads its lane dimension to 128 on TPU — a
+    4x memory blow-up (8 GB for the 16.7M-row bench operand).  With rows
+    on the lane dimension the layout is dense, and each diagonal is a
+    lane-shifted slice of the ``[nrhs, rb + 2h]`` window (same static-
+    slice structure as the SpMV kernel).  Shape-preserving — chainable.
     """
     rb = A.rb
     npad = A.npad
     T = npad // rb
     nd = A.ndiags
-    nrhs = int(Xpad.shape[1])
+    nrhs = int(Xt_pad.shape[0])
     h = _halo_size(A.offsets, rb)
     hb = rb // h
     TH = npad // h
 
     return pl.pallas_call(
         functools.partial(_spmm_kernel, offsets=A.offsets, rb=rb, h=h),
-        out_shape=jax.ShapeDtypeStruct((npad, nrhs), A.data.dtype),
+        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.data.dtype),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((nd, rb), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, nrhs),
-                         lambda j: (jnp.clip(j * hb - 1, 0, TH - 1), 0),
+            pl.BlockSpec((nrhs, h),
+                         lambda j: (0, jnp.clip(j * hb - 1, 0, TH - 1)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, nrhs), lambda j: (j, 0),
+            pl.BlockSpec((nrhs, rb), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, nrhs),
-                         lambda j: (jnp.clip((j + 1) * hb, 0, TH - 1), 0),
+            pl.BlockSpec((nrhs, h),
+                         lambda j: (0, jnp.clip((j + 1) * hb, 0, TH - 1)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rb, nrhs), lambda j: (j, 0),
+        out_specs=pl.BlockSpec((nrhs, rb), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
+        # the multi-RHS window tips the default 16 MB scoped-vmem budget
+        # (concat + per-diagonal slice temporaries); raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(A.data, Xpad, Xpad, Xpad)
+    )(A.data, Xt_pad, Xt_pad, Xt_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmm_sdia(A: SDIA, X: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """``A @ X`` with plain ``[n, nrhs]`` operands (pads internally)."""
-    Xp = jnp.pad(X, ((A.L, A.npad - A.L - X.shape[0]), (0, 0)))
-    Yp = spmm_sdia_padded(A, Xp, interpret=interpret)
-    return jax.lax.slice_in_dim(Yp, A.L, A.L + A.shape[0], axis=0)
+    """``A @ X`` with plain ``[n, nrhs]`` operands.
+
+    Convenience wrapper: transposes in and out of the dense ``[nrhs, n]``
+    kernel layout.  For very large ``n`` prefer building operands in
+    transposed layout and calling :func:`spmm_sdia_padded_t` directly —
+    the ``[n, nrhs]`` input itself carries the 4x lane-padding cost.
+    """
+    Xt = jnp.pad(X.T, ((0, 0), (A.L, A.npad - A.L - X.shape[0])))
+    Yt = spmm_sdia_padded_t(A, Xt, interpret=interpret)
+    return jax.lax.slice_in_dim(Yt, A.L, A.L + A.shape[0], axis=1).T
 
 
 def pad_x(A: SDIA, x: jax.Array) -> jax.Array:
