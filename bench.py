@@ -166,7 +166,7 @@ def bench_spmm_configs(A_dia, xp_scale) -> dict:
     }
 
 
-def bench_gpr(measured_peak_gbps: float) -> dict:
+def bench_gpr() -> dict:
     """Second metric: GPR vs the XLA fallback on a 700k-nnz random matrix."""
     import numpy as np
     import jax.numpy as jnp
@@ -312,7 +312,7 @@ def main() -> int:
     spmm_detail = bench_spmm_configs(A, scale)
 
     # --- second metric: GPR on a random pattern (+ general SpMM) ---
-    gpr_detail = bench_gpr(measured_peak_gbps)
+    gpr_detail = bench_gpr()
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
     print(json.dumps({

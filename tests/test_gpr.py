@@ -146,3 +146,26 @@ def test_gpr_large_ncol_blocked_gather():
     ref = m.astype(np.float64) @ x
     rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5, rel
+
+
+def test_spmm_gpr_hub_fallback_no_double_count():
+    # regression: the mapped fallback (nrhs > 16) already adds the hub-row
+    # side contributions inside each SpMV — adding them again in spmm_gpr
+    # returned rel err ~0.37 (code-review r2 finding)
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(41)
+    base = utils.random_sparse(400, 400, 0.02, seed=41).tocoo()
+    hub_cols = rng.choice(400, 200, replace=False).astype(np.int64)
+    rows = np.concatenate([base.row, np.full(200, 3, dtype=np.int64)])
+    cols = np.concatenate([base.col, hub_cols])
+    vals = np.concatenate([base.data, rng.random(200)])
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(400, 400))
+    m.sum_duplicates()
+    g = gpr.pack_gpr(m, dtype=np.float32)
+    assert g.side.nnz > 0 or g.side_gpr is not None
+    X = np.random.default_rng(42).random((400, 17)).astype(np.float32)
+    Y = np.asarray(gpr.spmm_gpr(g, jnp.asarray(X), interpret=True))
+    ref = m.astype(np.float64) @ X.astype(np.float64)
+    rel = np.max(np.abs(Y - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5, rel

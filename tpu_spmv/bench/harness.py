@@ -171,8 +171,10 @@ def verify_against_oracle(A, x, y, rtol: float = 1e-10,
     denom = max(float(np.max(np.abs(y_ref))), 1e-300)
     rel = float(np.max(np.abs(y_np - y_ref))) / denom
     # gate scales with the compute dtype's precision: f64 gets the BASELINE
-    # 1e-10 target; bf16 SpMV carries ~1e-2 relative error by construction
-    dt = jnp.asarray(y).dtype
+    # 1e-10 target; bf16 SpMV carries ~1e-2 relative error by construction.
+    # Read the dtype on host (jnp.asarray would downcast a host float64 y
+    # to f32 when x64 mode is off, silently loosening the gate)
+    dt = np.asarray(y).dtype
     if dt == np.float64:
         gate = rtol
     elif dt == jnp.bfloat16:
@@ -206,18 +208,31 @@ def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
     # chained timing (see time_chained): iterate v' = (A v) / ||A||_inf
     # so the dependent chain stays bounded without a per-step reduction.
     # Rectangular operands are square-padded (same nnz) — per-call fencing
-    # is not trustworthy on remote backends, so everything chains.
-    host = oracle if oracle is not None else to_coo(A).to_scipy()
+    # is not trustworthy on remote backends, so everything chains.  The
+    # matrix rides as a jit ARGUMENT (operands=), never a closure.
+    host = (oracle.tocsr() if oracle is not None else to_coo(A).to_scipy())
     inf_norm = float(np.abs(host).sum(axis=1).max())
     scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
     if nrow == ncol:
-        sec = time_chained(lambda v: base_fn(A, v) * scale, x, iters=iters)
+        sec = time_chained(lambda v, M: base_fn(M, v) * scale, x,
+                           iters=iters, operands=(A,))
     else:
-        A_sq = square_pad(A)
-        n = A_sq.shape[0]
-        x_sq = jnp.pad(x, (0, n - x.shape[0])) if x.shape[0] < n else x
-        sec = time_chained(lambda v: base_fn(A_sq, v) * scale, x_sq,
-                           iters=iters)
+        try:
+            A_sq = square_pad(A)
+        except (TypeError, AttributeError):
+            # packed plan matrices (GPCSR/SDIA...) cannot be re-embedded;
+            # fall back to per-call fencing and say so — better a marked
+            # dispatch-floor number than a crash
+            if not quiet:
+                print(f"    ({format_name(A)}: rectangular packed operand "
+                      f"— per-call timing, may measure dispatch)")
+            sec = time_fn(fn, A, x, iters=iters).best_s
+            A_sq = None
+        if A_sq is not None:
+            n = A_sq.shape[0]
+            x_sq = jnp.pad(x, (0, n - x.shape[0])) if x.shape[0] < n else x
+            sec = time_chained(lambda v, M: base_fn(M, v) * scale, x_sq,
+                               iters=iters, operands=(A_sq,))
     nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
     rf: Roofline = roofline(A, sec, nnz=nnz, x_dtype=x.dtype)
     name = format_name(A)
@@ -254,13 +269,29 @@ def bench_spmm(A, X, *, iters: int = DEFAULT_ITERS, check: bool = True,
     Y = jax.jit(base_fn)(A, X)
     rel = (verify_against_oracle(A, X, Y, oracle=oracle)
            if check else float("nan"))
-    host = oracle if oracle is not None else to_coo(A).to_scipy()
+    host = (oracle.tocsr() if oracle is not None else to_coo(A).to_scipy())
     inf_norm = float(np.abs(host).sum(axis=1).max())
     scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=X.dtype)
-    A_sq = square_pad(A)
-    n = A_sq.shape[0]
-    X_sq = jnp.pad(X, ((0, n - X.shape[0]), (0, 0))) if X.shape[0] < n else X
-    sec = time_chained(lambda V: base_fn(A_sq, V) * scale, X_sq, iters=iters)
+    nrow, ncol = A.shape
+    if nrow == ncol:
+        A_sq = A
+    else:
+        try:
+            A_sq = square_pad(A)
+        except (TypeError, AttributeError):
+            A_sq = None
+    if A_sq is None:
+        # rectangular packed operand: per-call fencing fallback (marked)
+        if not quiet:
+            print(f"    ({format_name(A)}: rectangular packed operand — "
+                  f"per-call timing, may measure dispatch)")
+        sec = time_fn(jax.jit(base_fn), A, X, iters=iters).best_s
+    else:
+        n = A_sq.shape[0]
+        X_sq = (jnp.pad(X, ((0, n - X.shape[0]), (0, 0)))
+                if X.shape[0] < n else X)
+        sec = time_chained(lambda V, M: base_fn(M, V) * scale, X_sq,
+                           iters=iters, operands=(A_sq,))
     nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
     gflops = 2 * nnz * nrhs / sec / 1e9
     name = format_name(A)

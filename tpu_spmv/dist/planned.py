@@ -99,15 +99,17 @@ class ShardedDIA:
                 f"band {band} exceeds chunk size {R}: the 1-hop halo "
                 f"cannot cover it (use fewer devices or the CSR path)"
             )
-        data = np.asarray(dia.data)                     # [ndiags, nrow]
+        # jnp ops throughout: the DIA payload may already be device-
+        # resident, and np.asarray would drag it back through the tunnel
+        data = jnp.asarray(dia.data)                    # [ndiags, nrow]
         pad = ndev * R - nrow
         if pad:
-            data = np.pad(data, ((0, 0), (0, pad)))
-        stacked = np.transpose(
+            data = jnp.pad(data, ((0, 0), (0, pad)))
+        stacked = jnp.transpose(
             data.reshape(data.shape[0], ndev, R), (1, 0, 2)
         )
         return ShardedDIA(
-            data=jnp.asarray(stacked, dtype=dia.data.dtype),
+            data=stacked,
             offsets=dia.offsets,
             shape=dia.shape,
             nnz=dia.nnz,
@@ -153,8 +155,8 @@ class ShardedBDIA:
         nrow, ncol = bdia.shape
         if nrow != ncol:
             raise ValueError("ShardedBDIA requires a square matrix")
-        data = np.asarray(bdia.data)          # [ndiags, nbrow, bs, bs]
-        nbrow = data.shape[1]
+        data = jnp.asarray(bdia.data)         # [ndiags, nbrow, bs, bs]
+        nbrow = int(data.shape[1])
         Rb = max(-(-nbrow // ndev), 1)
         band = max(max(abs(o) for o in bdia.offsets), 0)
         if band > Rb:
@@ -164,13 +166,13 @@ class ShardedBDIA:
             )
         pad = ndev * Rb - nbrow
         if pad:
-            data = np.pad(data, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        stacked = np.transpose(
+            data = jnp.pad(data, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        stacked = jnp.transpose(
             data.reshape(data.shape[0], ndev, Rb, *data.shape[2:]),
             (1, 0, 2, 3, 4),
         )
         return ShardedBDIA(
-            data=jnp.asarray(stacked, dtype=bdia.data.dtype),
+            data=stacked,
             offsets=bdia.offsets,
             shape=bdia.shape,
             block_size=bdia.block_size,
@@ -464,9 +466,13 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
     tile size (tests use small tiles).
     """
     from ..formats import convert
-    from ..formats.csr import CSR
     from ..ops.auto import _host_coo, analyze
 
+    if strategy not in (None, "dia", "dia_stream", "bdia", "csr_halo"):
+        raise ValueError(
+            f"unknown distributed strategy {strategy!r}; valid: dia, "
+            f"dia_stream, bdia, csr_halo"
+        )
     coo = _host_coo(host_mat, dtype)
     stats = analyze(coo)
     nrow, ncol = coo.shape
@@ -513,9 +519,12 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
                 return try_bdia()
             except ValueError:
                 pass
-    # general pattern: bucketed ring with segment-sum local compute
-    csr = convert(coo, "csr")
-    halo = HaloCSR.build(csr, ndev, square=square)
+    # general pattern: bucketed ring with segment-sum local compute.
+    # Build from the HOST scipy CSR — a device CSR's leaves would round-
+    # trip the tunnel inside HaloCSR.build
+    sp_csr = coo.to_scipy().tocsr()
+    sp_csr.sort_indices()
+    halo = HaloCSR.build(sp_csr, ndev, square=square)
     return DistPlan(halo, "csr_halo", halo.col_plan, halo.row_plan)
 
 
@@ -560,13 +569,16 @@ def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
 
     inf_norm = float(np.abs(host).sum(axis=1).max())
     scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)
+    strat, xpl, rpl = plan.strategy, plan.x_plan, plan.row_plan
 
-    def step(v: ShardedVector) -> ShardedVector:
-        y = plan.spmv(mesh, v, axis=axis)
+    def step(v: ShardedVector, M) -> ShardedVector:
+        # M rides as a jit argument (closure capture would bake the
+        # shards into the compiled payload — see time_chained)
+        y = DistPlan(M, strat, xpl, rpl).spmv(mesh, v, axis=axis)
         return ShardedVector(chunks=y.chunks * scale, starts=v.starts,
                              length=v.length)
 
-    sec = time_chained(step, xs, iters=iters)
+    sec = time_chained(step, xs, iters=iters, operands=(A,))
     nnz = plan.matrix.nnz
     gflops = 2 * nnz / sec / 1e9
     if not quiet:

@@ -43,6 +43,24 @@ def _pad_to(arr: np.ndarray, size: int, fill=0) -> np.ndarray:
     return out
 
 
+def _csr_host_arrays(csr):
+    """(indptr, indices, data, row_ids, shape, nnz) as HOST numpy from a
+    tpu_spmv CSR **or** a scipy.sparse CSR.
+
+    The builders below are host-numpy algorithms; accepting scipy lets
+    callers (the distributed planner) avoid converting to a device CSR
+    only to drag every leaf back through a ~1-2 MB/s tunnel."""
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    indices = np.asarray(csr.indices, dtype=np.int64)
+    data = np.asarray(csr.data)
+    if hasattr(csr, "row_ids"):
+        row_ids = np.asarray(csr.row_ids, dtype=np.int64)
+    else:  # scipy csr
+        row_ids = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                            np.diff(indptr))
+    return indptr, indices, data, row_ids, tuple(csr.shape), int(indptr[-1])
+
+
 @sparse_dataclass
 class ShardedVector:
     """Dense vector split into ``ndev`` contiguous zero-padded chunks.
@@ -141,10 +159,7 @@ class ShardedCSR:
         ``square=True`` uses the row plan for the columns too (required by
         solvers that chain ``A @ x`` — output sharding == input sharding).
         """
-        indptr = np.asarray(csr.indptr, dtype=np.int64)
-        cols = np.asarray(csr.indices, dtype=np.int64)
-        data = np.asarray(csr.data)
-        nrow, ncol = csr.shape
+        indptr, cols, data, row_ids, (nrow, ncol), _ = _csr_host_arrays(csr)
         rplan = plan_rows(indptr, ndev, balance=balance)
         if square:
             if nrow != ncol:
@@ -163,7 +178,6 @@ class ShardedCSR:
         d_stack = np.zeros((ndev, nnzp), dtype=data.dtype)
         c_stack = np.zeros((ndev, nnzp), dtype=np.int64)
         r_stack = np.zeros((ndev, nnzp), dtype=np.int64)
-        row_ids = np.asarray(csr.row_ids, dtype=np.int64)
         for i in range(ndev):
             lo, hi = indptr[s[i]], indptr[s[i + 1]]
             d_stack[i] = _pad_to(data[lo:hi], nnzp)
@@ -230,11 +244,7 @@ class HaloCSR:
     @staticmethod
     def build(csr: CSR, ndev: int, *, balance: str = "nnz",
               square: bool = False) -> "HaloCSR":
-        indptr = np.asarray(csr.indptr, dtype=np.int64)
-        cols = np.asarray(csr.indices, dtype=np.int64)
-        data = np.asarray(csr.data)
-        row_ids = np.asarray(csr.row_ids, dtype=np.int64)
-        nrow, ncol = csr.shape
+        indptr, cols, data, row_ids, (nrow, ncol), _ = _csr_host_arrays(csr)
         rplan = plan_rows(indptr, ndev, balance=balance)
         if square:
             if nrow != ncol:
@@ -336,10 +346,7 @@ class ColShardedCSR:
         ``"cols"`` splits evenly."""
         from .partition import plan_uniform
 
-        cols = np.asarray(csr.indices, dtype=np.int64)
-        data = np.asarray(csr.data)
-        row_ids = np.asarray(csr.row_ids, dtype=np.int64)
-        nrow, ncol = csr.shape
+        _, cols, data, row_ids, (nrow, ncol), _ = _csr_host_arrays(csr)
         if balance == "nnz":
             col_ptr = np.zeros(ncol + 1, dtype=np.int64)
             np.cumsum(np.bincount(cols, minlength=ncol), out=col_ptr[1:])

@@ -91,7 +91,7 @@ class GPCSR:
     #: VMEM-resident whole): tuple of (gseg_b, glidx_b) pairs with
     #: SEGMENT-RELATIVE row ids; () when single-block.
     gblocks: tuple = ()
-    #: static ((nsub8_b, seg_lo, seg_hi), ...) per column block
+    #: static ((sub_lo, sub_hi, seg_lo, seg_hi), ...) per column block
     col_blocks: tuple = static_field(default=())
 
     @property
@@ -608,9 +608,11 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
                and A.nsub == plan.ntiles * rp128 and not A.col_blocks
                and nrhs <= 16)
     if not fusable:
+        # the mapped per-rhs SpMVs already include side/side_gpr — return
+        # directly (adding them again double-counted hub-row tails)
         cols = jax.lax.map(
             lambda v: spmv_gpr(A, v, interpret=interpret), X.T)
-        y = cols.T
+        return cols.T
     else:
         S = -(-ncol // LANES)
         Xt = X.T.astype(A.vals.dtype)                     # [nrhs, ncol]
