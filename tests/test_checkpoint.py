@@ -108,3 +108,28 @@ def test_cli_cache_skips_packing(tmp_path, monkeypatch, capsys):
     assert cli.main(argv) == 0
     out2 = capsys.readouterr().out
     assert "reloaded" in out2
+
+
+def test_sdia_roundtrip(tmp_path):
+    import jax
+
+    from tpu_spmv import utils
+    from tpu_spmv.formats import COO, convert
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv.ops.auto import plan_from_matrix
+
+    mat = utils.banded(700, 3, seed=8)
+    dia = convert(COO.from_scipy(mat.tocoo(), dtype=jnp.float32), "dia")
+    S = dia_stream.pack_sdia(dia, rb=256)
+    p = tmp_path / "sdia.npz"
+    checkpoint.save_matrix(p, S, extra={"strategy": "dia_stream"})
+    S2, extra = checkpoint.load_matrix(p, with_extra=True)
+    assert extra["strategy"] == "dia_stream"
+    assert (S2.L, S2.rb, S2.offsets) == (S.L, S.rb, S.offsets)
+    # reconstruct the executable plan from the reloaded pack
+    plan = plan_from_matrix(S2, "dia_stream")
+    x = np.random.default_rng(8).random(700).astype(np.float32)
+    y = np.asarray(plan(jnp.asarray(x)))
+    ref = mat.astype(np.float64) @ x
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5, rel

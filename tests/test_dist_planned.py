@@ -49,10 +49,32 @@ def test_plan_dist_picks_bdia(mesh, rng):
     _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
 
 
-def test_plan_dist_general_falls_back(mesh, rng):
+def test_plan_dist_general_picks_gpr(mesh, rng):
+    # general patterns get the fast GPR local kernel (VERDICT r1 item 1:
+    # "GPR for general ones, pack each shard's buckets at build time")
     mat = utils.random_sparse(300, 300, 0.03, seed=3)
     plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32)
+    assert plan.strategy == "gpr"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_plan_dist_csr_halo_fallback(mesh, rng):
+    # forcing the bucketed ring still works (and is the fallback when the
+    # GPR envelope is exceeded)
+    mat = utils.random_sparse(300, 300, 0.03, seed=3)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="csr_halo")
     assert plan.strategy == "csr_halo"
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_sharded_gpr_power_law(mesh, rng):
+    # hub rows (>128 nnz) exercise the shape-forced side path per shard
+    mat = utils.power_law(650, 650, 7, seed=6).tocsr()
+    mat.sort_indices()
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32, strategy="gpr")
     x = rng.random(mat.shape[1]).astype(np.float32)
     _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
 

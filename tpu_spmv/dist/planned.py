@@ -401,6 +401,135 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
                          length=A.npad)
 
 
+@sparse_dataclass
+class ShardedGPR:
+    """Row-sharded GPR: the planner's fast local kernel for GENERAL
+    patterns (the reference's per-partition CSR loop, done TPU-style).
+
+    SPMD requires every shard to run the SAME compiled program, but a GPR
+    pack's static layout (gather sublanes, class tiles, plan tiles, side
+    nnz) is data-dependent.  The build therefore packs every shard
+    against FORCED shape targets (the per-shard maxima) with the
+    class-capacity compaction folded into each shard's y-permutation
+    *values* — after which the whole GPCSR pytree stacks leaf-wise and
+    flows through ``shard_map`` like any other container.
+    """
+
+    gpcsr: object                      # GPCSR with [ndev, ...] leaves
+    shape: tuple[int, int] = static_field()
+    row_starts: tuple[int, ...] = static_field()
+    nnz: int = static_field()
+
+    @property
+    def ndev(self) -> int:
+        return int(self.gpcsr.gseg.shape[0])
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.gpcsr.shape[0]
+
+    @property
+    def row_plan(self) -> RowPlan:
+        return RowPlan(self.row_starts, self.ndev, self.shape[0])
+
+    @property
+    def x_plan(self) -> RowPlan:
+        return plan_uniform(self.shape[1], self.ndev)
+
+    @staticmethod
+    def build(sp_csr, ndev: int, *, dtype=np.float32) -> "ShardedGPR":
+        import scipy.sparse as sp
+
+        from ..kernels import gpr as _gpr
+
+        nrow, ncol = sp_csr.shape
+        if ncol > _gpr.CB_SEGS * _gpr.LANES:
+            raise ValueError("sharded GPR requires single-block ncol")
+        rplan = plan_uniform(nrow, ndev)
+        R = rplan.max_count
+        mats = []
+        for i in range(ndev):
+            lo, hi = rplan.starts[i], rplan.starts[i + 1]
+            m = sp_csr[lo:hi].tocsr()
+            if m.shape[0] < R:
+                m = sp.vstack(
+                    [m, sp.csr_matrix((R - m.shape[0], ncol),
+                                      dtype=m.dtype)]).tocsr()
+            m.sort_indices()
+            mats.append(m)
+        # shape targets = per-shard maxima (cheap numpy, no probe packs)
+        ns8s, side_nnzs = [], []
+        class_T = np.zeros(len(_gpr.CLASS_W), dtype=np.int64)
+        for m in mats:
+            counts = np.diff(m.indptr)
+            # forced-r_p SINGLE-LEVEL routing (shape uniformity) is
+            # feasible to ~900k routed entries per shard with don't-care
+            # slack; a pod with more nnz needs more shards (or csr_halo)
+            if int(np.minimum(counts, _gpr.LANES).sum()) > 900_000:
+                raise ValueError(
+                    "a shard exceeds the forced-routing cap (~900k "
+                    "entries); use more devices or csr_halo")
+            cls = np.minimum(np.searchsorted(_gpr.CLASS_W, counts),
+                             len(_gpr.CLASS_W) - 1)
+            rows_c = np.bincount(cls, minlength=len(_gpr.CLASS_W))
+            for c, W in enumerate(_gpr.CLASS_W):
+                k_c = _gpr.LANES // W
+                class_T[c] = max(class_T[c], -(-rows_c[c] // (8 * k_c)))
+            side_nnzs.append(int(np.maximum(counts - _gpr.LANES, 0).sum()))
+            # gather sublanes: sum over segments of ceil(count/128) on the
+            # main (<=128/row) part
+            main_mask = (np.arange(m.nnz)
+                         - m.indptr[:-1].repeat(counts)) < _gpr.LANES
+            segs = m.indices[main_mask] >> 7
+            seg_cnt = np.bincount(segs) if len(segs) else np.zeros(1, int)
+            NS = max(int((-(-seg_cnt[seg_cnt > 0] // _gpr.LANES)).sum()), 1)
+            ns8s.append(-(-NS // 8) * 8)
+        targets = {
+            "ns8": max(ns8s),
+            "class_T": tuple(int(t) for t in class_T),
+            "side_nnz": max(side_nnzs),
+            # fixed tile fill (don't-care slack slots never route, so the
+            # default fill is feasible for every shard's real flows)
+            "rp": 11264,
+        }
+        packs = [_gpr.pack_gpr(m, dtype=dtype, targets=targets,
+                               padded_y=True) for m in mats]
+        # nnz is bookkeeping, but it is STATIC pytree metadata — normalize
+        # it so the per-shard treedefs match for stacking
+        packs = [dataclasses.replace(p, nnz=int(sp_csr.nnz))
+                 for p in packs]
+        stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *packs)
+        return ShardedGPR(gpcsr=stacked, shape=(int(nrow), int(ncol)),
+                          row_starts=rplan.starts, nnz=int(sp_csr.nnz))
+
+
+def spmv_gpr_sharded(mesh: Mesh, A: ShardedGPR, x: ShardedVector,
+                     *, axis: str = "x", interpret: bool = False
+                     ) -> ShardedVector:
+    """Row-sharded GPR SpMV: all-gather x over ICI, run the full
+    gather-permute-reduce pipeline per shard (one SPMD program — the
+    shards differ only in operand values)."""
+    from ..kernels.gpr import spmv_gpr
+
+    ncol = A.shape[1]
+
+    def run_body(G_loc: ShardedGPR, x_loc: ShardedVector):
+        xg = lax.all_gather(x_loc.chunks[0], axis, tiled=True)
+        local = jax.tree_util.tree_map(lambda l: l[0], G_loc.gpcsr)
+        y = spmv_gpr(local, xg[:ncol], interpret=interpret)
+        return y[None]
+
+    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=P(axis))
+    try:
+        run = _shard_map(run_body, check_vma=False, **smap_kwargs)
+    except TypeError:  # pragma: no cover
+        run = _shard_map(run_body, check_rep=False, **smap_kwargs)
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.row_plan.starts,
+                         length=A.shape[0])
+
+
 # ---------------------------------------------------------------------------
 # The distributed planner
 # ---------------------------------------------------------------------------
@@ -447,6 +576,10 @@ class DistPlan:
                                      interpret=interp)
         if self.strategy == "bdia":
             return spmv_bdia_sharded(mesh, self.matrix, x, axis=axis)
+        if self.strategy == "gpr":
+            interp = jax.devices()[0].platform == "cpu"
+            return spmv_gpr_sharded(mesh, self.matrix, x, axis=axis,
+                                    interpret=interp)
         from .spmv import spmv_halo
 
         return spmv_halo(mesh, self.matrix, x, axis=axis)
@@ -468,10 +601,11 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
     from ..formats import convert
     from ..ops.auto import _host_coo, analyze
 
-    if strategy not in (None, "dia", "dia_stream", "bdia", "csr_halo"):
+    if strategy not in (None, "dia", "dia_stream", "bdia", "gpr",
+                        "csr_halo"):
         raise ValueError(
             f"unknown distributed strategy {strategy!r}; valid: dia, "
-            f"dia_stream, bdia, csr_halo"
+            f"dia_stream, bdia, gpr, csr_halo"
         )
     coo = _host_coo(host_mat, dtype)
     stats = analyze(coo)
@@ -519,11 +653,24 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
                 return try_bdia()
             except ValueError:
                 pass
-    # general pattern: bucketed ring with segment-sum local compute.
-    # Build from the HOST scipy CSR — a device CSR's leaves would round-
-    # trip the tunnel inside HaloCSR.build
+    # general pattern: build from the HOST scipy CSR — a device CSR's
+    # leaves would round-trip the tunnel inside the builders
     sp_csr = coo.to_scipy().tocsr()
     sp_csr.sort_indices()
+    gpr_wanted = strategy == "gpr" or (
+        strategy is None
+        and ncol <= 2_800_000
+        and stats.nnz and stats.nnz // ndev <= 800_000
+    )
+    if gpr_wanted:
+        try:
+            sharded = ShardedGPR.build(sp_csr, ndev, dtype=dtype
+                                       or np.float32)
+            return DistPlan(sharded, "gpr", sharded.x_plan,
+                            sharded.row_plan)
+        except ValueError:
+            if strategy == "gpr":
+                raise
     halo = HaloCSR.build(sp_csr, ndev, square=square)
     return DistPlan(halo, "csr_halo", halo.col_plan, halo.row_plan)
 

@@ -119,8 +119,25 @@ def supports(shape, nnz) -> bool:
     return shape[1] <= CB_SEGS * LANES * 10 and nnz <= MAX_NNZ
 
 
-def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
-    """Pack a scipy matrix (or host COO) for the GPR pipeline."""
+def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
+             targets: dict | None = None,
+             padded_y: bool = False) -> GPCSR:
+    """Pack a scipy matrix (or host COO) for the GPR pipeline.
+
+    ``targets`` forces the pack's static layout to given sizes so that
+    MULTIPLE packs share one pytree structure (the SPMD requirement for
+    running GPR as a shard-local kernel — every shard must compile the
+    same program).  Keys: ``ns8`` (gather sublanes), ``class_T`` (tiles
+    per width class, len(CLASS_W)), ``side_nnz`` (COO tail entries, padded
+    with zero-valued (0,0) entries), ``rp`` (permutation tile fill,
+    forced), ``yn`` (y-permutation length).  Each must be >= the natural
+    size; tails never recurse (side_gpr stays None) under targets.
+
+    ``padded_y`` keeps the class-capacity padding in the reduce output
+    (class_tiles rows entries become capacities) and folds the compaction
+    into the y permutation instead — the per-shard *values* of that plan
+    differ, its shape does not.
+    """
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
         csr.sort_indices()
@@ -169,8 +186,10 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     t_rows, t_cols, t_data = row_ids[~main], cols[~main], data[~main]
     side_gpr = None
     # measured crossover: below ~60k tail entries the COO path's
-    # ~8ns/entry beats a nested pipeline's fixed ~0.4ms overhead
-    if len(t_rows) > 60_000 and _depth < 4:
+    # ~8ns/entry beats a nested pipeline's fixed ~0.4ms overhead.
+    # Under targets tails never recurse (the nested pack's shapes could
+    # not be forced uniform across shards).
+    if len(t_rows) > 60_000 and _depth < 4 and targets is None:
         import scipy.sparse as sp
 
         try:
@@ -183,6 +202,15 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
             t_data = np.zeros(0, dtype=dtype)
         except ValueError:
             side_gpr = None
+    if targets is not None:
+        pad = targets["side_nnz"] - len(t_rows)
+        if pad < 0:
+            raise ValueError(
+                f"side_nnz target {targets['side_nnz']} < natural "
+                f"{len(t_rows)}")
+        t_rows = np.pad(t_rows, (0, pad))
+        t_cols = np.pad(t_cols, (0, pad))
+        t_data = np.pad(t_data, (0, pad))     # zero values: inert
     side = COO.from_arrays(t_rows, t_cols, t_data, (nrow, ncol), dtype=dtype)
     m_rows, m_cols, m_data, m_off = (row_ids[main], cols[main], data[main],
                                      offs[main])
@@ -194,13 +222,21 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     Ttot = 0
     for c, W in enumerate(CLASS_W):
         rows_c = int(rows_per_class[c])
-        if rows_c == 0:
+        k_c = LANES // W
+        T_c = -(-rows_c // (8 * k_c)) if rows_c else 0
+        if targets is not None:
+            if targets["class_T"][c] < T_c:
+                raise ValueError(
+                    f"class_T target {targets['class_T'][c]} < natural "
+                    f"{T_c} for class {c}")
+            T_c = targets["class_T"][c]
+        if T_c == 0:
             class_tiles.append((W, 0, 0))
             continue
-        k_c = LANES // W
-        T_c = -(-rows_c // (8 * k_c))
         tile_base[c] = Ttot
-        class_tiles.append((W, T_c, rows_c))
+        # padded_y: the reduce emits the full class capacity; compaction
+        # happens in the y permutation instead (shape-uniform packs)
+        class_tiles.append((W, T_c, T_c * 8 * k_c if padded_y else rows_c))
         Ttot += T_c
     Ttot = max(Ttot, 1)
 
@@ -228,6 +264,10 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     gsub = np.cumsum(new_sub) - 1
     NS = int(gsub[-1]) + 1 if nm else 1
     NS8 = -(-NS // 8) * 8
+    if targets is not None:
+        if targets["ns8"] < NS8:
+            raise ValueError(f"ns8 target {targets['ns8']} < natural {NS8}")
+        NS8 = targets["ns8"]
     gseg = np.zeros(NS8, dtype=np.int32)
     glidx = np.zeros((NS8, LANES), dtype=np.int8)   # lane ids < 128
     if nm:
@@ -240,11 +280,13 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
     perm = np.full(N, -1, dtype=np.int64)
     if nm:
         perm[dst_flat[seg_order]] = src_flat
-    free_dst = np.flatnonzero(perm < 0)
-    used_src = np.zeros(N, dtype=bool)
-    used_src[src_flat] = True
-    perm[free_dst] = np.flatnonzero(~used_src)[: len(free_dst)]
-    plan = _perm.plan_permutation_auto(perm)
+    # slack slots stay -1 (don't-care): the router skips them entirely —
+    # a completed dummy mapping adds real cross-tile flows that blow the
+    # per-tile row budget at scale
+    if targets is not None:
+        plan = _perm.plan_permutation(perm, force_r_p=targets["rp"])
+    else:
+        plan = _perm.plan_permutation_auto(perm)
 
     # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
     col_blocks: tuple = ()
@@ -284,7 +326,22 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0) -> GPCSR:
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
-    if not np.array_equal(row_order, np.arange(nrow)):
+    if padded_y:
+        # padded class-capacity space -> natural rows: the compaction the
+        # non-padded path does with static slicing lives HERE, in the plan
+        # VALUES, so packs with different class occupancies share shapes
+        caps = np.array([T_c * 8 * (LANES // W)
+                         for W, T_c, _ in class_tiles], dtype=np.int64)
+        pbase = np.zeros(len(caps) + 1, dtype=np.int64)
+        np.cumsum(caps, out=pbase[1:])
+        cap_total = max(int(pbase[-1]), 1)
+        perm_y = np.full(cap_total, -1, dtype=np.int64)
+        padded_pos = pbase[cls] + (sorted_pos - cstart[cls])
+        perm_y[:nrow] = padded_pos            # outputs past nrow: don't-care
+        yplan = (_perm.plan_permutation(perm_y, force_r_p=targets["rp"])
+                 if targets is not None
+                 else _perm.plan_permutation_auto(perm_y))
+    elif not np.array_equal(row_order, np.arange(nrow)):
         yplan = _perm.plan_permutation_auto(sorted_pos)
 
     return GPCSR(
@@ -490,11 +547,13 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     if y_sorted.shape[0] < nrow:
         y_sorted = jnp.pad(y_sorted, (0, nrow - y_sorted.shape[0]))
 
-    # restore natural row order
+    # restore natural row order (padded-y packs also compact here)
     if A.yplan is not None:
         y = _perm.apply_permutation(A.yplan, y_sorted, interpret=interpret)
     else:
         y = y_sorted
+    if y.shape[0] > nrow:
+        y = y[:nrow]
     if A.side_gpr is not None:
         y = y + spmv_gpr(A.side_gpr, x, interpret=interpret)
     if A.side.nnz:
@@ -662,6 +721,8 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
         if A.yplan is not None:
             y_sorted = _perm.apply_permutation_batched(
                 A.yplan, y_sorted, interpret=interpret)
+        if y_sorted.shape[1] > nrow:
+            y_sorted = y_sorted[:, :nrow]
         y = y_sorted.T                                     # [nrow, nrhs]
     if A.side_gpr is not None:
         y = y + spmm_gpr(A.side_gpr, X, interpret=interpret)

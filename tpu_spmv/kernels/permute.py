@@ -282,6 +282,16 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     perm = np.asarray(perm, dtype=np.int64)
     n = len(perm)
     idx = np.arange(n, dtype=np.int64)
+    # entries with perm[i] < 0 are DON'T-CARE slots: they impose no
+    # routing constraint (their outputs are garbage the caller discards).
+    # Callers with dummy fill (gpr's slack slots) leave them at -1 — a
+    # completed dummy mapping would add real cross-tile flows that blow
+    # the row budget at scale (observed: one padded source tile fanning
+    # out to every destination tile)
+    real_mask = perm >= 0
+    ridx = idx[real_mask]
+    rperm = perm[real_mask]
+    nr = len(ridx)
 
     # adaptive tile fill: search downward for an r_p whose EXACT row
     # budget (send and receive <= 128 whole rows per tile) is feasible.
@@ -291,10 +301,15 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     start = max((int(TILE * (1.0 - slack)) // 1024) * 1024, 1024)
     candidates = ([force_r_p] if force_r_p is not None
                   else range(start, Q - 1, -1024))
+    if nr == 0:
+        candidates = [force_r_p or start]
     for cand in candidates:
         T_c = max(-(-n // cand), 1)
-        ts_c = perm // cand
-        td_c = idx // cand
+        if nr == 0:
+            r_p = cand
+            break
+        ts_c = rperm // cand
+        td_c = ridx // cand
         pair = ts_c * T_c + td_c
         # budget: rows = ceil(pair-chunk / 128) per (src, dst) tile pair
         # (bincount over the pair key; cheaper than unique's sort)
@@ -324,29 +339,30 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
         )
     T = max(-(-n // r_p), 1)
     # padded-layout positions: element i lives at tile i//r_p, slot i%r_p
-    ts, sp = np.divmod(perm, r_p)     # src tile, slot within
-    td, dp = np.divmod(idx, r_p)      # dst tile, slot within
+    # (real entries only — don't-care slots never route)
+    ts_all, sp_all = np.divmod(rperm, r_p)   # src tile, slot within
+    td_all, dp_all = np.divmod(ridx, r_p)    # dst tile, slot within
 
     # ---- stage-2 row assignment: chunk (ts -> td) flows into rows --------
     # order elements by (ts, td): chunks of <=128 become whole rows
-    order = np.lexsort((td, ts))
-    ts_o, td_o = ts[order], td[order]
+    order = np.lexsort((td_all, ts_all))
+    ts_o, td_o = ts_all[order], td_all[order]
     pair = ts_o * T + td_o
-    new_pair = np.ones(n, dtype=bool)
+    new_pair = np.ones(nr, dtype=bool)
     new_pair[1:] = pair[1:] != pair[:-1]
     # position within its (ts, td) group
-    grp_start = np.zeros(n, dtype=np.int64)
+    grp_start = np.zeros(nr, dtype=np.int64)
     grp_start[new_pair] = np.flatnonzero(new_pair)
     grp_start = np.maximum.accumulate(grp_start)
-    pos_in_grp = np.arange(n) - grp_start
+    pos_in_grp = np.arange(nr) - grp_start
     chunk = pos_in_grp // Q           # chunk index within group
     lane = (pos_in_grp % Q).astype(np.int64)
     # unique (pair, chunk) -> a stage-2 row
     ckey = pair * (Q + 1) + np.minimum(chunk, Q)
-    new_row = np.ones(n, dtype=bool)
+    new_row = np.ones(nr, dtype=bool)
     new_row[1:] = ckey[1:] != ckey[:-1]
     row_id_of_elem = np.cumsum(new_row) - 1           # global packed row id
-    nrows = int(row_id_of_elem[-1]) + 1
+    nrows = int(row_id_of_elem[-1]) + 1 if nr else 0
     row_ts = ts_o[new_row]
     row_td = td_o[new_row]
     # per-tile row budgets
@@ -390,7 +406,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
 
     # ---- stage-1 per-tile permutations -----------------------------------
     # element (in `order`) moves within src tile ts_o: from sp -> (r1, lane)
-    sp_o = sp[order]
+    sp_o = sp_all[order]
     dst1 = r1[row_id_of_elem] * Q + lane              # target pos within tile
     # build full within-tile perms; unused slots self-map
     perm1 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
@@ -415,7 +431,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     src3 = r2[row_id_of_elem] * Q + lane
     perm3 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
     used3 = np.zeros((T, TILE), dtype=bool)
-    dp_o = dp[order]
+    dp_o = dp_all[order]
     perm3[td_o, dp_o] = src3
     used3[td_o, dp_o] = True
     fill_free_slots(perm3, used3, td_o, src3)
@@ -483,8 +499,10 @@ class TwoLevelPlan:
 
 def _rows_feasible(p: np.ndarray, idx: np.ndarray, r_p: int, T: int) -> bool:
     """Cheap pre-check of the per-tile send/recv row budgets (the same
-    accounting plan_permutation enforces)."""
-    pair = (p // r_p) * T + idx // r_p
+    accounting plan_permutation enforces).  Don't-care entries (< 0) are
+    unconstrained and excluded."""
+    m = p >= 0
+    pair = (p[m] // r_p) * T + idx[m] // r_p
     uniq, cnt = np.unique(pair, return_counts=True)
     rows = -(-cnt // Q)
     send = np.bincount(uniq // T, weights=rows, minlength=T)
@@ -513,17 +531,28 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
         r_p = max((int(TILE * (1.0 - slack)) // 1024) * 1024, 1024)
         T = max(-(-n // r_p), 1)
         K = min(56, T)
-        S_of = (idx // r_p) // K               # destination supertile
-        ts = perm // r_p                       # source tile
-        # contiguous q assignment: group by supertile (capacity == count,
-        # so groups tile the slot space exactly), order flows by source
-        # tile, ties by DESTINATION position — then pass B's
-        # (mid-tile -> dst-tile) flows are contiguous runs too
-        order = np.lexsort((idx, ts, S_of))
-        q_of_elem = np.empty(n, dtype=np.int64)
-        q_of_elem[order] = idx
-        perm_a = perm[order]                   # mid[k] = x[perm_a[k]]
-        perm_b = q_of_elem                     # out[i] = mid[perm_b[i]]
+        real = perm >= 0
+        ridx = idx[real]
+        S_of = (ridx // r_p) // K              # destination supertile
+        ts = perm[real] // r_p                 # source tile
+        # contiguous q assignment: group by supertile (count <= slot
+        # capacity, real entries pack the group's leading slots), order
+        # flows by source tile, ties by DESTINATION position — then pass
+        # B's (mid-tile -> dst-tile) flows are contiguous runs too.
+        # Don't-care entries never route in either pass.
+        order = np.lexsort((ridx, ts, S_of))
+        sorted_S = S_of[order]
+        newg = np.ones(len(order), dtype=bool)
+        newg[1:] = sorted_S[1:] != sorted_S[:-1]
+        gstart = np.zeros(len(order), dtype=np.int64)
+        gstart[newg] = np.flatnonzero(newg)
+        gstart = np.maximum.accumulate(gstart)
+        rank = np.arange(len(order)) - gstart
+        q = sorted_S * (K * r_p) + rank        # slot within the supertile
+        perm_a = np.full(n, -1, dtype=np.int64)
+        perm_a[q] = perm[real][order]          # mid[q] = x[perm_a[q]]
+        perm_b = np.full(n, -1, dtype=np.int64)
+        perm_b[ridx[order]] = q                # out[i] = mid[perm_b[i]]
         if not (_rows_feasible(perm_a, idx, r_p, T)
                 and _rows_feasible(perm_b, idx, r_p, T)):
             last_err = ValueError(
