@@ -570,19 +570,27 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
 
 def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref, a1_ref,
                                 a2_ref, a3_ref, o_ref, *, rp128):
+    """Gather + stage 1 for a block of rhs planes, gather batched ACROSS
+    rhs: one dynamic middle-axis slice ``x3[:, seg, :]`` moves the qb
+    planes' segment rows together, and one lane-gather (same index row
+    broadcast over the qb sublanes) extracts all qb rhs's slot values —
+    qb-fold fewer dynamic slices than the per-rhs loop (which measured
+    8.2 ms at nrhs=32: ~260k single-sublane dynamic reads dominated)."""
     t = pl.program_id(1)
-    for q2 in range(x3_ref.shape[0]):
-        groups = []
-        for g in range(rp128 // 8):
-            base = t * rp128 + g * 8
-            tile = jnp.stack([x3_ref[q2, gseg_ref[base + i], :]
-                              for i in range(8)])
-            idx = glidx_ref[g * 8:(g + 1) * 8].astype(jnp.int32)
-            groups.append(jnp.take_along_axis(tile, idx, axis=1))
-        z = jnp.concatenate(groups, axis=0)
-        if rp128 < LANES:
-            z = jnp.pad(z, ((0, LANES - rp128), (0, 0)))
-        o_ref[q2, 0] = _perm._gtgtg(z, a1_ref[0], a2_ref[0], a3_ref[0])
+    qb = x3_ref.shape[0]
+    rows = []
+    for i in range(rp128):
+        blk = x3_ref[:, gseg_ref[t * rp128 + i], :]          # [qb, 128]
+        idx = jnp.broadcast_to(
+            glidx_ref[i].astype(jnp.int32)[None, :], (qb, LANES))
+        rows.append(jnp.take_along_axis(blk, idx, axis=1))
+    w = jnp.stack(rows)                                      # [rp128, qb, 128]
+    z_all = jnp.swapaxes(w, 0, 1)                            # [qb, rp128, 128]
+    if rp128 < LANES:
+        z_all = jnp.pad(z_all, ((0, 0), (0, LANES - rp128), (0, 0)))
+    for q2 in range(qb):
+        o_ref[q2, 0] = _perm._gtgtg(z_all[q2], a1_ref[0], a2_ref[0],
+                                    a3_ref[0])
 
 
 def _reduce_step_rhs_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
@@ -639,6 +647,100 @@ def _reduce_all_classes_batched(vals, g4, class_tiles, interpret):
     return parts
 
 
+#: nrhs ceiling for the batched pipeline (measured crossover vs the
+#: mapped per-rhs path; module-level so probes can override)
+SPMM_BATCH_MAX_NRHS = 16
+
+
+def _is_batch_fusable(A: GPCSR) -> bool:
+    plan = A.plan
+    rp128 = (plan.real_per_tile // LANES
+             if isinstance(plan, _perm.PermutationPlan) else 0)
+    return bool(rp128 and rp128 % 8 == 0
+                and A.nsub == plan.ntiles * rp128 and not A.col_blocks)
+
+
+def _spmm_gpr_batched_main(A: GPCSR, X: jax.Array, *,
+                           interpret: bool = False) -> jax.Array:
+    """The batched pipeline on the MAIN pack only (no side paths):
+    returns y_sorted-restored ``[nrhs, nrow]`` (transposed layout)."""
+    nrow, ncol = A.shape
+    nrhs = int(X.shape[1])
+    plan = A.plan
+    rp128 = plan.real_per_tile // LANES
+    S = -(-ncol // LANES)
+    Xt = X.T.astype(A.vals.dtype)                     # [nrhs, ncol]
+    if S * LANES != ncol:
+        Xt = jnp.pad(Xt, ((0, 0), (0, S * LANES - ncol)))
+    x3 = Xt.reshape(nrhs, S, LANES)
+    z = _spmm_stage1(A, x3, interpret=interpret)
+    permuted = _perm.apply_stage23_flat_batched(
+        plan, z.reshape(nrhs, plan.ntiles * LANES, LANES),
+        interpret=interpret)
+    return _spmm_reduce_restore(A, permuted, interpret=interpret)
+
+
+def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
+                 interpret: bool = False) -> jax.Array:
+    """Fused gather + permutation stage 1 over all rhs planes:
+    ``x3 [nrhs, S, 128]`` → ``z [nrhs, T, 128, 128]``."""
+    plan = A.plan
+    rp128 = plan.real_per_tile // LANES
+    nrhs, S = int(x3.shape[0]), int(x3.shape[1])
+    T = plan.ntiles
+    # rhs per grid step: as many x planes as ~4 MB of VMEM allows —
+    # fat steps keep the (rhs, tiles) grid near the unbatched step
+    # count (skinny 1-rhs steps made SpMM SLOWER than nrhs SpMVs)
+    qb = max(1, min(_perm.QB_S1, (4 << 20) // (S * LANES * 4), nrhs))
+    nq = -(-nrhs // qb)
+    if nq * qb != nrhs:
+        x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
+    t_plane = pl.BlockSpec((1, LANES, LANES), lambda qg, t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_gather_s1_rhs_kernel, rp128=rp128),
+        out_shape=jax.ShapeDtypeStruct((nq * qb, T, LANES, LANES),
+                                       A.vals.dtype),
+        grid=(nq, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
+            pl.BlockSpec((rp128, LANES), lambda qg, t: (t, 0),
+                         memory_space=pltpu.VMEM),       # glidx
+            pl.BlockSpec((qb, S, LANES), lambda qg, t: (qg, 0, 0),
+                         memory_space=pltpu.VMEM),       # x planes
+            t_plane, t_plane, t_plane,
+        ],
+        out_specs=pl.BlockSpec((qb, 1, LANES, LANES),
+                               lambda qg, t: (qg, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A.gseg, A.glidx, x3, plan.a1, plan.a2, plan.a3)[:nrhs]
+
+
+def _spmm_reduce_restore(A: GPCSR, permuted: jax.Array, *,
+                         interpret: bool = False) -> jax.Array:
+    """Batched per-class reduce + y-order restore:
+    ``permuted [nrhs, n]`` → ``[nrhs, nrow]``."""
+    nrow = A.shape[0]
+    nrhs = int(permuted.shape[0])
+    Ttot = A.ntiles
+    g4 = permuted[:, : Ttot * 8 * LANES].reshape(nrhs, Ttot, 8, LANES)
+    parts = _reduce_all_classes_batched(A.vals, g4, A.class_tiles,
+                                        interpret)
+    y_sorted = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                else (parts[0] if parts
+                      else jnp.zeros((nrhs, nrow), A.vals.dtype)))
+    if y_sorted.shape[1] < nrow:
+        y_sorted = jnp.pad(y_sorted,
+                           ((0, 0), (0, nrow - y_sorted.shape[1])))
+    if A.yplan is not None:
+        y_sorted = _perm.apply_permutation_batched(
+            A.yplan, y_sorted, interpret=interpret)
+    if y_sorted.shape[1] > nrow:
+        y_sorted = y_sorted[:, :nrow]
+    return y_sorted
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
              ) -> jax.Array:
@@ -654,76 +756,14 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
     Falls back to the mapped per-rhs pipeline when the pack is not
     stage-1-fusable (two-level plans).
     """
-    nrow, ncol = A.shape
     nrhs = int(X.shape[1])
-    plan = A.plan
-    rp128 = (plan.real_per_tile // LANES
-             if isinstance(plan, _perm.PermutationPlan) else 0)
-    # measured on chip (700k nnz): the batched pipeline wins up to
-    # nrhs ~16 (1.34 ms vs 1.55 ms at 8); past that its stage-2 exchange
-    # buffer cycling loses to the mapped per-rhs pipeline (8.2 vs 6.2 ms
-    # at 32) — the per-element VPU work dominates either way
-    fusable = (rp128 and rp128 % 8 == 0
-               and A.nsub == plan.ntiles * rp128 and not A.col_blocks
-               and nrhs <= 16)
-    if not fusable:
+    if not (_is_batch_fusable(A) and nrhs <= SPMM_BATCH_MAX_NRHS):
         # the mapped per-rhs SpMVs already include side/side_gpr — return
         # directly (adding them again double-counted hub-row tails)
         cols = jax.lax.map(
             lambda v: spmv_gpr(A, v, interpret=interpret), X.T)
         return cols.T
-    else:
-        S = -(-ncol // LANES)
-        Xt = X.T.astype(A.vals.dtype)                     # [nrhs, ncol]
-        if S * LANES != ncol:
-            Xt = jnp.pad(Xt, ((0, 0), (0, S * LANES - ncol)))
-        x3 = Xt.reshape(nrhs, S, LANES)
-        T = plan.ntiles
-        # rhs per grid step: as many x planes as ~4 MB of VMEM allows —
-        # fat steps keep the (rhs, tiles) grid near the unbatched step
-        # count (skinny 1-rhs steps made SpMM SLOWER than nrhs SpMVs)
-        qb = max(1, min(_perm.QB_S1, (4 << 20) // (S * LANES * 4), nrhs))
-        nq = -(-nrhs // qb)
-        if nq * qb != nrhs:
-            x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
-        t_plane = pl.BlockSpec((1, LANES, LANES), lambda qg, t: (t, 0, 0),
-                               memory_space=pltpu.VMEM)
-        z = pl.pallas_call(
-            functools.partial(_fused_gather_s1_rhs_kernel, rp128=rp128),
-            out_shape=jax.ShapeDtypeStruct((nq * qb, T, LANES, LANES),
-                                           A.vals.dtype),
-            grid=(nq, T),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
-                pl.BlockSpec((rp128, LANES), lambda qg, t: (t, 0),
-                             memory_space=pltpu.VMEM),       # glidx
-                pl.BlockSpec((qb, S, LANES), lambda qg, t: (qg, 0, 0),
-                             memory_space=pltpu.VMEM),       # x planes
-                t_plane, t_plane, t_plane,
-            ],
-            out_specs=pl.BlockSpec((qb, 1, LANES, LANES),
-                                   lambda qg, t: (qg, t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(A.gseg, A.glidx, x3, plan.a1, plan.a2, plan.a3)[:nrhs]
-        permuted = _perm.apply_stage23_flat_batched(
-            plan, z.reshape(nrhs, T * LANES, LANES), interpret=interpret)
-        Ttot = A.ntiles
-        g4 = permuted[:, : Ttot * 8 * LANES].reshape(nrhs, Ttot, 8, LANES)
-        parts = _reduce_all_classes_batched(A.vals, g4, A.class_tiles,
-                                            interpret)
-        y_sorted = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                    else (parts[0] if parts
-                          else jnp.zeros((nrhs, nrow), A.vals.dtype)))
-        if y_sorted.shape[1] < nrow:
-            y_sorted = jnp.pad(y_sorted,
-                               ((0, 0), (0, nrow - y_sorted.shape[1])))
-        if A.yplan is not None:
-            y_sorted = _perm.apply_permutation_batched(
-                A.yplan, y_sorted, interpret=interpret)
-        if y_sorted.shape[1] > nrow:
-            y_sorted = y_sorted[:, :nrow]
-        y = y_sorted.T                                     # [nrow, nrhs]
+    y = _spmm_gpr_batched_main(A, X, interpret=interpret).T
     if A.side_gpr is not None:
         y = y + spmm_gpr(A.side_gpr, X, interpret=interpret)
     if A.side.nnz:
