@@ -647,7 +647,7 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
         from ..kernels import dia_stream
 
         dia = convert(coo, "dia")
-        sd = dia_stream.pack_sdia(dia, rb=sdia_rb or dia_stream.RB)
+        sd = dia_stream.pack_sdia(dia, rb=sdia_rb)
         sharded = ShardedSDIA.build(sd, ndev)
         return DistPlan(sharded, "dia_stream", sharded.pad_plan,
                         sharded.pad_plan)

@@ -16,9 +16,9 @@ every operand once:
   (front/back pads rounded to whole tiles) makes every clamped edge tile
   read garbage that multiplies structurally-zero diagonal data.
 
-Envelope: ``max |offset| <= RB`` (= 16384 by default — covers 5-point
-Poisson up to grid 16384) and square matrices for the chained/padded
-layout.  Traffic per SpMV = ndiags·n (data) + 3n (x refetch) + n (y)
+Envelope: ``max |offset| <= rb`` (auto-selected 16384..131072 per the
+data-block VMEM budget — covers 5-point Poisson up to grid 131072) and
+square matrices for the chained/padded layout.  Traffic per SpMV = ndiags·n (data) + 3n (x refetch) + n (y)
 values; measured **~76% of the stream roofline** where the XLA form
 managed 14%.
 
@@ -42,8 +42,15 @@ from ..formats.dia import DIA
 __all__ = ["SDIA", "pack_sdia", "spmv_sdia_padded", "spmv_sdia",
            "spmm_sdia_padded_t", "spmm_sdia", "supports_sdia"]
 
-#: rows per grid tile (multiple of 1024; |offset| must not exceed it)
+#: floor rows per grid tile (multiple of 1024); :func:`pack_sdia` auto-
+#: selects up to RB_MAX subject to the data-block VMEM budget — fatter
+#: tiles cut grid-step fixed cost and halo refetch (measured on the
+#: 16.7M-row Poisson operand: 0.822 -> 0.848 of stream roofline going
+#: 16384 -> 65536)
 RB = 16384
+RB_MAX = 131072
+#: per-buffer budget for the [ndiags, rb] data block (double-buffered)
+_DATA_BLOCK_BUDGET = 3 << 20
 
 
 def _roundup(a: int, m: int) -> int:
@@ -81,20 +88,45 @@ class SDIA:
         return self.data.dtype
 
 
-def supports_sdia(offsets, shape, rb: int = RB) -> bool:
-    return (shape[0] == shape[1]
-            and max(abs(int(o)) for o in offsets) <= rb)
+def _auto_rb(ndiags: int, offsets, nrow: int) -> int | None:
+    """Pick the row-tile size: as fat as the data-block budget allows
+    (fewer grid steps, smaller halo fraction), shrunk for small matrices
+    (whole-tile padding), raised — within 2x budget — when the band needs
+    it.  ``None`` = the band does not fit any feasible tile."""
+    need = _roundup(max(max(abs(int(o)) for o in offsets), 1), 1024)
+    rb = 65536
+    while rb > RB and ndiags * rb * 4 > _DATA_BLOCK_BUDGET:
+        rb //= 2
+    while rb > RB and rb >= 4 * nrow:
+        rb //= 2
+    if need > rb:
+        rb = need
+        if rb > RB_MAX or ndiags * rb * 4 > 2 * _DATA_BLOCK_BUDGET:
+            return None
+    return rb
 
 
-def pack_sdia(dia: DIA, rb: int = RB) -> SDIA:
+def supports_sdia(offsets, shape, rb: int | None = None) -> bool:
+    if shape[0] != shape[1]:
+        return False
+    if rb is None:
+        return _auto_rb(len(offsets), offsets, shape[0]) is not None
+    return max(abs(int(o)) for o in offsets) <= rb
+
+
+def pack_sdia(dia: DIA, rb: int | None = None) -> SDIA:
     """Lay a DIA matrix out in padded-tile row space (device-side ops —
-    no host round-trip, so packing a 335 MB operand costs one stream)."""
+    no host round-trip, so packing a 335 MB operand costs one stream).
+
+    ``rb=None`` auto-selects the tile size (see :func:`_auto_rb`)."""
     nrow, ncol = dia.shape
-    if not supports_sdia(dia.offsets, dia.shape, rb):
+    if rb is None:
+        rb = _auto_rb(dia.ndiags, dia.offsets, nrow)
+    if rb is None or not supports_sdia(dia.offsets, dia.shape, rb):
         raise ValueError(
-            f"sdia needs a square matrix with max |offset| <= {rb}, got "
-            f"shape {dia.shape}, offsets [{min(dia.offsets)}, "
-            f"{max(dia.offsets)}]"
+            f"sdia needs a square matrix with a feasible row tile "
+            f"(max |offset| <= rb <= {RB_MAX}), got shape {dia.shape}, "
+            f"offsets [{min(dia.offsets)}, {max(dia.offsets)}]"
         )
     lo = max(0, -min(dia.offsets))
     hi = max(0, max(dia.offsets))
