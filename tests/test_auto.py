@@ -90,8 +90,8 @@ def test_cost_model_crossover():
     assert pallas_ell_cost_s(200, 3) < gpr_cost_s(nnz)      # compact: PSELL
     assert pallas_ell_cost_s(65_000, 48) > gpr_cost_s(nnz)  # scattered: GPR
     # the fixed GPR pipeline cost dominates tiny matrices
-    assert gpr_cost_s(0) == 90e-6
-    assert abs(gpr_cost_s(1_000_000) - (0.15e-3 + 90e-6)) < 1e-9
+    assert gpr_cost_s(0) == 35e-6
+    assert abs(gpr_cost_s(1_000_000) - (0.155e-3 + 35e-6)) < 1e-9
 
 
 def test_planner_dia_storage_ratio_only():

@@ -86,7 +86,7 @@ def spmv_bytes(A, x_dtype=None) -> int:
         plane_bytes = sum(
             int(p.size) * p.dtype.itemsize
             for p in (A.plan.a1, A.plan.a2, A.plan.a3,
-                      A.plan.b1, A.plan.b2, A.plan.b3)
+                      A.plan.b2, A.plan.b3)
         )
         total = (A.vals.size * val + A.glidx.size * 4 + plane_bytes
                  + A.vals.size * val)          # gathered+permuted temps

@@ -27,6 +27,9 @@ _SEARCH = [
 
 @functools.cache
 def _lib():
+    from ..utils import ensure_native_built
+
+    ensure_native_built()
     for path in _SEARCH:
         if path and os.path.exists(path):
             lib = ctypes.CDLL(path)

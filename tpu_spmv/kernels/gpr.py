@@ -31,6 +31,7 @@ blocks with independent plans (outputs concatenate).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -67,9 +68,17 @@ class GPCSR:
     Leaves:
       gseg: ``[NS] int32`` x2d row per gather sublane.
       glidx: ``[NS, 128] int32`` lane index (col % 128) per gather slot.
-      plan: permutation moving gathered values into class-major PSELL slots.
-      vals: ``[Ttot, 8, 128]`` pre-permuted values (class tile blocks
-        concatenated; zero padding).
+        On ``fused`` packs the plan's first gather plane (``a1``) is
+        composed in at pack time — the x-gather then lands values
+        directly in post-stage-1-gather order (one fewer VPU gather and
+        one fewer int8 plane per pass).
+      plan: permutation moving gathered values into class-major PSELL
+        slots (``a1`` is a 1-element dummy on fused packs).
+      vals: pre-permuted values.  Fused packs store the PLAN-TILE layout
+        ``[T, rp128, 128]`` (plan tile t, sublane row, lane; zero rows
+        beyond the class capacity) so the stage-3 kernel can multiply
+        and mask-dot in place; non-fused packs keep the class-tile
+        layout ``[Ttot, 8, 128]`` for the standalone reduce.
       yplan: permutation restoring class-sorted y to natural row order
         (None when a single class keeps rows in order).
       side: COO carrying only per-row tails beyond 128 entries.
@@ -93,6 +102,10 @@ class GPCSR:
     gblocks: tuple = ()
     #: static ((sub_lo, sub_hi, seg_lo, seg_hi), ...) per column block
     col_blocks: tuple = static_field(default=())
+    #: single-launch fused pipeline: gather+stage-1 fused (a1 folded into
+    #: glidx) and stage-2/3 fused with the mask-dot reduce (vals in plan
+    #: layout).  Set at pack time iff single-block + single-level plan.
+    fused: bool = static_field(default=False)
 
     @property
     def ntiles(self) -> int:
@@ -283,10 +296,12 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     # slack slots stay -1 (don't-care): the router skips them entirely —
     # a completed dummy mapping adds real cross-tile flows that blow the
     # per-tile row budget at scale
+    hp: dict = {}
     if targets is not None:
-        plan = _perm.plan_permutation(perm, force_r_p=targets["rp"])
+        plan = _perm.plan_permutation(perm, force_r_p=targets["rp"],
+                                      host_planes=hp)
     else:
-        plan = _perm.plan_permutation_auto(perm)
+        plan = _perm.plan_permutation_auto(perm, host_planes=hp)
 
     # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
     col_blocks: tuple = ()
@@ -317,12 +332,29 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     # kernel (one fewer full pass over the payload + one fewer launch).
     # Padded slots gather garbage that only ever reaches dummy destination
     # slots (real destinations are sourced exclusively from real slots).
-    if not col_blocks and isinstance(plan, _perm.PermutationPlan):
+    fused = bool(not col_blocks and isinstance(plan, _perm.PermutationPlan))
+    vals_store = vals_ps
+    if fused:
         rp128 = plan.real_per_tile // LANES
         ns_need = plan.ntiles * rp128
         if ns_need > len(gseg):
             gseg = np.pad(gseg, (0, ns_need - len(gseg)))
             glidx = np.pad(glidx, ((0, ns_need - len(glidx)), (0, 0)))
+        # fold the plan's first gather plane into the gather lane indices:
+        # stage 1's G1 moves values within each sublane row, so the
+        # x-gather can read them pre-permuted — glidx'[r, m] =
+        # glidx[r, a1[t, r%rp128, m]].  One fewer in-kernel gather
+        # (96 ns/tile measured) and 1 int8 plane less traffic per pass.
+        a1r = hp["a1"][:, :rp128, :].reshape(plan.ntiles * rp128, LANES)
+        glidx = np.take_along_axis(glidx, a1r, axis=1)
+        # vals in PLAN-TILE layout for the fused stage-3 + mask-dot
+        # reduce: flat dest element i of the routed space lives at plan
+        # tile i // r_p, row (i % r_p) // 128, lane i % 128
+        nv = plan.ntiles * plan.real_per_tile
+        vflat = np.zeros(nv, dtype=vals_ps.dtype)
+        vflat[: vals_ps.size] = vals_ps.reshape(-1)
+        vals_store = vflat.reshape(plan.ntiles, rp128, LANES)
+        plan = dataclasses.replace(plan, a1=jnp.zeros((1, 1, 1), jnp.int8))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
@@ -348,7 +380,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         gseg=jnp.asarray(gseg),
         glidx=jnp.asarray(glidx),
         plan=plan,
-        vals=jnp.asarray(vals_ps),
+        vals=jnp.asarray(vals_store),
         yplan=yplan,
         side=side,
         side_gpr=side_gpr,
@@ -357,6 +389,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         nnz=int(nnz),
         class_tiles=tuple(class_tiles),
         col_blocks=col_blocks,
+        fused=fused,
     )
 
 
@@ -373,12 +406,13 @@ def _gather_kernel(gseg_ref, glidx_ref, x_ref, o_ref, *, tps):
     lax.fori_loop(0, tps, body, 0)
 
 
-def _fused_gather_s1_kernel(gseg_ref, glidx_ref, x_ref, a1_ref, a2_ref,
+def _fused_gather_s1_kernel(gseg_ref, glidx_ref, x_ref, a2_ref,
                             a3_ref, o_ref, *, rp128):
     """Gather + permutation stage 1 in one pass: build the plan tile's
     payload directly from x2d (8 row slices + one lane-gather per sublane
-    group) and apply the within-tile G-T-G-T-G immediately — the gathered
-    intermediate never round-trips HBM."""
+    group) and apply the within-tile T-G-T-G immediately — the gathered
+    intermediate never round-trips HBM, and the plan's first gather plane
+    (a1) is already composed into ``glidx`` at pack time."""
     t = pl.program_id(0)
     groups = []
     for g in range(rp128 // 8):
@@ -389,7 +423,78 @@ def _fused_gather_s1_kernel(gseg_ref, glidx_ref, x_ref, a1_ref, a2_ref,
     z = jnp.concatenate(groups, axis=0)
     if rp128 < LANES:
         z = jnp.pad(z, ((0, LANES - rp128), (0, 0)))
-    o_ref[0] = _perm._gtgtg(z, a1_ref[0], a2_ref[0], a3_ref[0])
+    o_ref[0] = _perm._tgtg(z, a2_ref[0], a3_ref[0])
+
+
+def _run_stage1_fused(A: GPCSR, x2d: jax.Array, *,
+                      interpret: bool = False) -> jax.Array:
+    """The fused gather + permutation-stage-1 launch: ``x2d [S, 128]`` →
+    ``z [T, 128, 128]`` (also used standalone by the stage profiler)."""
+    plan = A.plan
+    rp128 = plan.real_per_tile // LANES
+    T = plan.ntiles
+    return pl.pallas_call(
+        functools.partial(_fused_gather_s1_kernel, rp128=rp128),
+        out_shape=jax.ShapeDtypeStruct((T, LANES, LANES), A.vals.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
+            pl.BlockSpec((rp128, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),       # glidx
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # x2d
+            pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A.gseg, A.glidx, x2d, plan.a2, plan.a3)
+
+
+def _mask16(dtype):
+    """``[128, 16]`` width-8 partial-sum mask: lane l contributes to
+    partial l // 8.  All width classes are multiples of 8, so every
+    class's row sums assemble from these partials (``_combine_partials``)."""
+    lane = np.arange(LANES)
+    return jnp.asarray(lane[:, None] // 8 == np.arange(16)[None, :],
+                       dtype=dtype)
+
+
+def _run_s23_reduce_fused(A: GPCSR, z: jax.Array, *,
+                          interpret: bool = False) -> jax.Array:
+    """``z [T, 128, 128]`` (stage-1 output) → width-8 partials
+    ``[T, rp128, 16]`` in plan-tile row order.  Runs the batched kernel
+    at nrhs=1 — the tile-group batching (``TB_S23`` tiles per grid step,
+    one fat ``[tb*rp128, 128] @ [128, 16]`` MXU pass each) amortizes the
+    per-step fixed cost the same way either way."""
+    T = A.plan.ntiles
+    return _run_s23_reduce_fused_batched(
+        A, z.reshape(1, T * LANES, LANES), interpret=interpret)[0]
+
+
+def _combine_partials(P2: jax.Array, class_tiles) -> list:
+    """Second-level class sums over width-8 partials.
+
+    ``P2 [..., T*rp128, 16]`` is vals-row-major (plan row r of tile t =
+    vals row ``t*rp128 + r``; classes occupy contiguous vals-row ranges).
+    A class-W row's value is the sum of its W/8 adjacent partials.
+    Returns the per-class y blocks (class-sorted row order), as XLA ops
+    on the ~16-wide array — a few hundred KB, negligible next to the
+    fused kernel's traffic."""
+    lead = P2.shape[:-2]
+    parts = []
+    tb = 0
+    for W, T_c, rows_c in class_tiles:
+        if T_c == 0:
+            continue
+        k_c = LANES // W
+        blk = lax.slice_in_dim(P2, 8 * tb, 8 * (tb + T_c), axis=P2.ndim - 2)
+        y = blk.reshape(lead + (T_c * 8, k_c, W // 8)).sum(axis=-1)
+        parts.append(y.reshape(lead + (-1,))[..., :rows_c])
+        tb += T_c
+    return parts
 
 
 #: tiles per reduce grid step — one [tps*8, 128] @ [128, k] MXU pass each
@@ -458,36 +563,15 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     NS8 = A.nsub
 
     plan = A.plan
-    rp128 = (plan.real_per_tile // LANES
-             if isinstance(plan, _perm.PermutationPlan) else 0)
-    if (rp128 and rp128 % 8 == 0 and NS8 == plan.ntiles * rp128
-            and not A.col_blocks):
-        # fused path: gather feeds stage 1 in-register (pack_gpr padded
-        # the gather layout to whole plan tiles)
-        T = plan.ntiles
-        z = pl.pallas_call(
-            functools.partial(_fused_gather_s1_kernel, rp128=rp128),
-            out_shape=jax.ShapeDtypeStruct((T, LANES, LANES),
-                                           A.vals.dtype),
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
-                pl.BlockSpec((rp128, LANES), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),       # glidx
-                pl.BlockSpec(memory_space=pltpu.VMEM),       # x2d
-                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(A.gseg, A.glidx, x2d, plan.a1, plan.a2, plan.a3)
-        permuted = _perm.apply_stage23_flat(
-            plan, z.reshape(T * LANES, LANES), interpret=interpret)
+    if A.fused:
+        # two fused launches end-to-end: (gather + stage 1) then
+        # (exchange + stage 3 + mask-dot reduce); only z [T, 128, 128]
+        # and the [T, rp128, 16] partials round-trip HBM
+        z = _run_stage1_fused(A, x2d, interpret=interpret)
+        P = _run_s23_reduce_fused(A, z, interpret=interpret)
+        rp128 = plan.real_per_tile // LANES
+        parts = _combine_partials(
+            P.reshape(plan.ntiles * rp128, 16), A.class_tiles)
     else:
         def run_gather(gseg_in, glidx_in, x2d_in):
             """One gather pallas call over a sublane range (the whole
@@ -537,11 +621,11 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
             flat = jnp.pad(flat, (0, A.plan.n - flat.shape[0]))
         permuted = _perm.apply_permutation(A.plan, flat,
                                            interpret=interpret)
+        # per-class reductions over the concatenated tile blocks
+        Ttot = A.ntiles
+        g3 = permuted[: Ttot * 8 * LANES].reshape(Ttot, 8, LANES)
+        parts = _reduce_all_classes(A.vals, g3, A.class_tiles, interpret)
 
-    # per-class reductions over the concatenated tile blocks
-    Ttot = A.ntiles
-    g3 = permuted[: Ttot * 8 * LANES].reshape(Ttot, 8, LANES)
-    parts = _reduce_all_classes(A.vals, g3, A.class_tiles, interpret)
     y_sorted = (jnp.concatenate(parts) if len(parts) > 1
                 else (parts[0] if parts else jnp.zeros(nrow, A.vals.dtype)))
     if y_sorted.shape[0] < nrow:
@@ -568,7 +652,7 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref, a1_ref,
+def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref,
                                 a2_ref, a3_ref, o_ref, *, rp128):
     """Gather + stage 1 for a block of rhs planes, gather batched ACROSS
     rhs: one dynamic middle-axis slice ``x3[:, seg, :]`` moves the qb
@@ -589,75 +673,81 @@ def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref, a1_ref,
     if rp128 < LANES:
         z_all = jnp.pad(z_all, ((0, 0), (0, LANES - rp128), (0, 0)))
     for q2 in range(qb):
-        o_ref[q2, 0] = _perm._gtgtg(z_all[q2], a1_ref[0], a2_ref[0],
-                                    a3_ref[0])
+        o_ref[q2, 0] = _perm._tgtg(z_all[q2], a2_ref[0], a3_ref[0])
 
 
-def _reduce_step_rhs_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
-    prod = (vals_ref[:] * g_ref[0]).reshape(tps * 8, LANES)
+def _fused_s23_reduce_rhs_kernel(rowsrc_ref, z_ref, b2_ref, b3_ref,
+                                 vals_ref, mask_ref, o_ref, *, tb, rp128):
+    """Batched stages 2+3 + reduce: grid (rhs, tile-groups) with the rhs
+    major so each rhs's exchange buffer stays VMEM-resident across its
+    tile sweep while the plane/vals blocks cycle.  The group's tb
+    products collapse into ONE ``[tb*rp128, 128] @ [128, 16]`` MXU pass
+    (per-tile dots cost ~180ns each in step overhead)."""
+    t0 = pl.program_id(1) * tb
+    prods = []
+    for i in range(tb):
+
+        def stack8(s, i=i):
+            base = (t0 + i) * LANES + s * 8
+            return jnp.stack([z_ref[0, rowsrc_ref[base + j], :]
+                              for j in range(8)])
+
+        z = jnp.concatenate([stack8(s) for s in range(LANES // 8)], axis=0)
+        w = _perm._tgtg(z, b2_ref[i], b3_ref[i])
+        prods.append(w[:rp128] * vals_ref[i])
+    prod = jnp.concatenate(prods, axis=0)
     out = lax.dot_general(
         prod, mask_ref[:], (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=prod.dtype,
     )
-    o_ref[0] = out.reshape(tps, 8, k)
+    o_ref[0] = out.reshape(tb, rp128, 16)
 
 
-def _reduce_all_classes_batched(vals, g4, class_tiles, interpret):
-    """Batched per-class reduce: grid (steps, nrhs) with the rhs minor so
-    each step's vals block stays resident across the whole batch."""
-    nrhs = int(g4.shape[0])
-    parts = []
-    off = 0
-    for W, T_c, rows_c in class_tiles:
-        if T_c == 0:
-            continue
-        k_c = LANES // W
-        lane_ids = np.arange(LANES) // W
-        mask = jnp.asarray(
-            lane_ids[:, None] == np.arange(k_c)[None, :], dtype=vals.dtype)
-        v_c = vals[off: off + T_c]
-        g_c = g4[:, off: off + T_c]
-        tps = min(REDUCE_TPS, T_c)
-        steps = -(-T_c // tps)
-        Tpad = steps * tps
-        if Tpad != T_c:
-            v_c = jnp.pad(v_c, ((0, Tpad - T_c), (0, 0), (0, 0)))
-            g_c = jnp.pad(g_c, ((0, 0), (0, Tpad - T_c), (0, 0), (0, 0)))
-        out = pl.pallas_call(
-            functools.partial(_reduce_step_rhs_kernel, tps=tps, k=k_c),
-            out_shape=jax.ShapeDtypeStruct((nrhs, Tpad, 8, k_c),
-                                           vals.dtype),
-            grid=(steps, nrhs),
-            in_specs=[
-                pl.BlockSpec((tps, 8, LANES), lambda s, q: (s, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tps, 8, LANES),
-                             lambda s, q: (q, s, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, tps, 8, k_c),
-                                   lambda s, q: (q, s, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(v_c, g_c, mask)
-        parts.append(out[:, :T_c].reshape(nrhs, -1)[:, :rows_c])
-        off += T_c
-    return parts
+def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
+                                  interpret: bool = False) -> jax.Array:
+    """``z [nrhs, T*128, 128]`` → width-8 partials ``[nrhs, T, rp128, 16]``."""
+    plan = A.plan
+    rp128 = plan.real_per_tile // LANES
+    T = plan.ntiles
+    nrhs = int(z.shape[0])
+    tb = min(_perm.TB_S23, T)
+    nt = -(-T // tb)
+    Tp = nt * tb
+    b2, b3, rowsrc, vals = plan.b2, plan.b3, plan.rowsrc, A.vals
+    if Tp != T:
+        pad_t = ((0, Tp - T), (0, 0), (0, 0))
+        b2, b3 = (jnp.pad(b, pad_t) for b in (b2, b3))
+        vals = jnp.pad(vals, pad_t)
+        rowsrc = jnp.pad(rowsrc, (0, (Tp - T) * LANES))
+    out = pl.pallas_call(
+        functools.partial(_fused_s23_reduce_rhs_kernel, tb=tb,
+                          rp128=rp128),
+        out_shape=jax.ShapeDtypeStruct((nrhs, Tp, rp128, 16), A.vals.dtype),
+        grid=(nrhs, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # rowsrc
+            pl.BlockSpec((1, T * LANES, LANES), lambda q, tg: (q, 0, 0),
+                         memory_space=pltpu.VMEM),           # z, per-rhs
+            pl.BlockSpec((tb, LANES, LANES), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),           # b2
+            pl.BlockSpec((tb, LANES, LANES), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),           # b3
+            pl.BlockSpec((tb, rp128, LANES), lambda q, tg: (tg, 0, 0),
+                         memory_space=pltpu.VMEM),           # vals
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # mask16
+        ],
+        out_specs=pl.BlockSpec((1, tb, rp128, 16),
+                               lambda q, tg: (q, tg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rowsrc, z, b2, b3, vals, _mask16(A.vals.dtype))
+    return out[:, :T]
 
 
 #: nrhs ceiling for the batched pipeline (measured crossover vs the
 #: mapped per-rhs path; module-level so probes can override)
 SPMM_BATCH_MAX_NRHS = 16
-
-
-def _is_batch_fusable(A: GPCSR) -> bool:
-    plan = A.plan
-    rp128 = (plan.real_per_tile // LANES
-             if isinstance(plan, _perm.PermutationPlan) else 0)
-    return bool(rp128 and rp128 % 8 == 0
-                and A.nsub == plan.ntiles * rp128 and not A.col_blocks)
 
 
 def _spmm_gpr_batched_main(A: GPCSR, X: jax.Array, *,
@@ -674,10 +764,11 @@ def _spmm_gpr_batched_main(A: GPCSR, X: jax.Array, *,
         Xt = jnp.pad(Xt, ((0, 0), (0, S * LANES - ncol)))
     x3 = Xt.reshape(nrhs, S, LANES)
     z = _spmm_stage1(A, x3, interpret=interpret)
-    permuted = _perm.apply_stage23_flat_batched(
-        plan, z.reshape(nrhs, plan.ntiles * LANES, LANES),
+    P = _run_s23_reduce_fused_batched(
+        A, z.reshape(nrhs, plan.ntiles * LANES, LANES),
         interpret=interpret)
-    return _spmm_reduce_restore(A, permuted, interpret=interpret)
+    return _spmm_reduce_restore(
+        A, P.reshape(nrhs, plan.ntiles * rp128, 16), interpret=interpret)
 
 
 def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
@@ -708,25 +799,22 @@ def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
                          memory_space=pltpu.VMEM),       # glidx
             pl.BlockSpec((qb, S, LANES), lambda qg, t: (qg, 0, 0),
                          memory_space=pltpu.VMEM),       # x planes
-            t_plane, t_plane, t_plane,
+            t_plane, t_plane,
         ],
         out_specs=pl.BlockSpec((qb, 1, LANES, LANES),
                                lambda qg, t: (qg, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(A.gseg, A.glidx, x3, plan.a1, plan.a2, plan.a3)[:nrhs]
+    )(A.gseg, A.glidx, x3, plan.a2, plan.a3)[:nrhs]
 
 
-def _spmm_reduce_restore(A: GPCSR, permuted: jax.Array, *,
+def _spmm_reduce_restore(A: GPCSR, P2: jax.Array, *,
                          interpret: bool = False) -> jax.Array:
-    """Batched per-class reduce + y-order restore:
-    ``permuted [nrhs, n]`` → ``[nrhs, nrow]``."""
+    """Batched class combine + y-order restore: width-8 partials
+    ``P2 [nrhs, T*rp128, 16]`` → ``[nrhs, nrow]``."""
     nrow = A.shape[0]
-    nrhs = int(permuted.shape[0])
-    Ttot = A.ntiles
-    g4 = permuted[:, : Ttot * 8 * LANES].reshape(nrhs, Ttot, 8, LANES)
-    parts = _reduce_all_classes_batched(A.vals, g4, A.class_tiles,
-                                        interpret)
+    nrhs = int(P2.shape[0])
+    parts = _combine_partials(P2, A.class_tiles)
     y_sorted = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                 else (parts[0] if parts
                       else jnp.zeros((nrhs, nrow), A.vals.dtype)))
@@ -757,7 +845,7 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
     stage-1-fusable (two-level plans).
     """
     nrhs = int(X.shape[1])
-    if not (_is_batch_fusable(A) and nrhs <= SPMM_BATCH_MAX_NRHS):
+    if not (A.fused and nrhs <= SPMM_BATCH_MAX_NRHS):
         # the mapped per-rhs SpMVs already include side/side_gpr — return
         # directly (adding them again double-counted hub-row tails)
         cols = jax.lax.map(

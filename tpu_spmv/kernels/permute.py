@@ -50,6 +50,9 @@ import os as _os
 
 @_functools.cache
 def _native_router():
+    from ..utils import ensure_native_built
+
+    ensure_native_built()
     for path in (
         _os.environ.get("TPU_SPMV_NATIVE_ROUTER", ""),
         _os.path.join(_os.path.dirname(__file__), "..", "..", "native",
@@ -242,7 +245,11 @@ class PermutationPlan:
     2. exchange whole rows across tiles (``rowsrc``: for each global dest
        row, the global source row) — per-sublane dynamic slices;
     3. within each *destination* tile, place elements at their final
-       positions (planes ``b1/b2/b3``) — fused with stage 2.
+       positions — T-G-T-G with planes ``b2/b3`` only: the exchange moves
+       whole rows, so stage 3's leading lane-gather (``b1``) commutes with
+       it and is pre-composed into ``a3`` at plan time (one fewer VPU
+       gather + one fewer int8 plane per pass; lane-gathers measured
+       96 ns/tile on chip).
 
     Feasibility requires every tile to send and receive <= 128 whole rows;
     group-per-row padding makes this tight near T = 128 tiles, so keep
@@ -251,9 +258,8 @@ class PermutationPlan:
 
     a1: jax.Array   # [T, 128, 128] int8 — lane indices < 128
     a2: jax.Array
-    a3: jax.Array
+    a3: jax.Array   # b1-composed (see class docstring)
     rowsrc: jax.Array   # [T*128] int32 global source row per dest row
-    b1: jax.Array
     b2: jax.Array
     b3: jax.Array
     n: int = static_field()
@@ -261,11 +267,14 @@ class PermutationPlan:
 
     @property
     def ntiles(self) -> int:
-        return int(self.a1.shape[0])
+        # a2, not a1: producers that fold a1 into their own gather
+        # replace it with a 1-element dummy (gpr.pack_gpr)
+        return int(self.a2.shape[0])
 
 
 def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
-                     force_r_p: int | None = None) -> PermutationPlan:
+                     force_r_p: int | None = None,
+                     host_planes: dict | None = None) -> PermutationPlan:
     """Route an arbitrary permutation of ``n`` elements.
 
     Elements are laid out ``slack``-padded: each tile carries
@@ -278,6 +287,12 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     ``force_r_p`` pins the tile fill (the two-level router engineers its
     pass flows for a specific ``r_p``; re-searching would break the
     contiguity that makes them feasible).
+
+    ``host_planes``, when a dict, is filled with the HOST numpy planes
+    (keys ``a1/a2/a3/rowsrc/b2/b3``; ``a3`` already b1-composed) so
+    producers that fold engine stages into their own kernels (gpr's
+    gather composes ``a1`` into its lane indices) never pull device
+    arrays back through the tunnel.
     """
     perm = np.asarray(perm, dtype=np.int64)
     n = len(perm)
@@ -457,6 +472,24 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
 
     a1, a2, a3 = planes_for(perm1)
     b1, b2, b3 = planes_for(perm3)
+    # fold stage 3's leading lane-gather (b1) into stage 1's trailing one
+    # (a3): stage 2 moves WHOLE rows (dest row u*Q+r reads source row
+    # rowsrc[u*Q+r] wholesale), so the per-dest-row lane permutation b1
+    # can be pre-applied to the source row before the exchange.  Each
+    # used source row has exactly ONE real consumer (g_src_row is
+    # injective); idle dest rows' self-reads may alias used source rows,
+    # but their outputs are don't-care slots, so only the real consumer's
+    # b1 matters.  The source row t*Q+s leaves stage 1 pre-gathered by
+    # beta = b1[dest_of[t*Q+s]]:
+    #   out'[s, c] = out[s, beta[c]] = z4[s, a3[s, beta[c]]]
+    dest_of = np.arange(T * Q, dtype=np.int64)
+    dest_of[g_src_row] = g_dst_row
+    beta = b1.reshape(T * Q, Q)[dest_of].astype(np.int64)
+    a3 = np.take_along_axis(
+        a3.reshape(T * Q, Q), beta, axis=1).reshape(T, Q, Q)
+    if host_planes is not None:
+        host_planes.update(a1=a1, a2=a2, a3=a3, rowsrc=rowsrc,
+                           b2=b2, b3=b3)
     # index planes hold lane/sublane/color ids < 128 → int8 halves their
     # HBM traffic (they are the bulk of an engine pass's bytes); kernels
     # upcast per tile in VMEM
@@ -464,7 +497,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     return PermutationPlan(
         a1=as_i8(a1), a2=as_i8(a2), a3=as_i8(a3),
         rowsrc=jnp.asarray(rowsrc.astype(np.int32)),
-        b1=as_i8(b1), b2=as_i8(b2), b3=as_i8(b3),
+        b2=as_i8(b2), b3=as_i8(b3),
         n=int(n),
         real_per_tile=int(r_p),
     )
@@ -565,17 +598,20 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
     raise last_err
 
 
-def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15):
+def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
+                          host_planes: dict | None = None):
     """Single-level when feasible (one engine pass), two-level beyond the
     ~900k cap.  Returns ``PermutationPlan`` or ``TwoLevelPlan``; both are
-    accepted by :func:`apply_permutation`."""
+    accepted by :func:`apply_permutation`.  ``host_planes`` is filled
+    only on the single-level path (two-level passes cannot be fused into
+    a producer's gather)."""
     perm = np.asarray(perm, dtype=np.int64)
     if len(perm) > 1_600_000:
         # single-level is infeasible for random flows well before this;
         # skip the (expensive) downward feasibility search entirely
         return plan_permutation_two_level(perm)
     try:
-        return plan_permutation(perm, slack=slack)
+        return plan_permutation(perm, slack=slack, host_planes=host_planes)
     except ValueError:
         # two-level needs its own (larger) slack budget — see its docstring
         return plan_permutation_two_level(perm)
@@ -584,6 +620,12 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15):
 def _gtgtg(z, g1, g2, g3):
     """The 3-gather-2-transpose tile permutation (planes arrive int8)."""
     z = jnp.take_along_axis(z, g1.astype(jnp.int32), axis=1)
+    return _tgtg(z, g2, g3)
+
+
+def _tgtg(z, g2, g3):
+    """Stage-3 tile permutation after the b1 fold: transpose, sublane
+    route (as a lane-gather in transposed space), transpose, place."""
     z = z.T
     z = jnp.take_along_axis(z, g2.astype(jnp.int32), axis=1)
     z = z.T
@@ -594,7 +636,7 @@ def _stage1_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
     o_ref[0] = _gtgtg(x_ref[0], g1_ref[0], g2_ref[0], g3_ref[0])
 
 
-def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
+def _stage23_kernel(rowsrc_ref, z_ref, g2_ref, g3_ref, o_ref):
     t = pl.program_id(0)
 
     def stack8(s):
@@ -602,7 +644,7 @@ def _stage23_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref, o_ref):
         return jnp.stack([z_ref[rowsrc_ref[base + i], :] for i in range(8)])
 
     z = jnp.concatenate([stack8(s) for s in range(Q // 8)], axis=0)
-    o_ref[0] = _gtgtg(z, g1_ref[0], g2_ref[0], g3_ref[0])
+    o_ref[0] = _tgtg(z, g2_ref[0], g3_ref[0])
 
 
 def _tile_spec():
@@ -626,11 +668,11 @@ def apply_stage23_flat(plan: PermutationPlan, z: jax.Array, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # rowsrc (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # z (full, rows)
-            _tile_spec(), _tile_spec(), _tile_spec(),
+            _tile_spec(), _tile_spec(),
         ],
         out_specs=_tile_spec(),
         interpret=interpret,
-    )(plan.rowsrc, z, plan.b1, plan.b2, plan.b3)
+    )(plan.rowsrc, z, plan.b2, plan.b3)
     return out.reshape(T, TILE)[:, :r_p].reshape(-1)[: plan.n]
 
 
@@ -647,7 +689,7 @@ def _stage1_batched_kernel(x_ref, g1_ref, g2_ref, g3_ref, o_ref):
                               g3_ref[0])
 
 
-def _stage23_batched_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref,
+def _stage23_batched_kernel(rowsrc_ref, z_ref, g2_ref, g3_ref,
                             o_ref, *, tb):
     t0 = pl.program_id(1) * tb
     for i in range(tb):
@@ -658,7 +700,7 @@ def _stage23_batched_kernel(rowsrc_ref, z_ref, g1_ref, g2_ref, g3_ref,
                               for j in range(8)])
 
         z = jnp.concatenate([stack8(s) for s in range(Q // 8)], axis=0)
-        o_ref[0, i] = _gtgtg(z, g1_ref[i], g2_ref[i], g3_ref[i])
+        o_ref[0, i] = _tgtg(z, g2_ref[i], g3_ref[i])
 
 
 def apply_permutation_batched(plan, X: jax.Array, *,
@@ -723,10 +765,10 @@ def apply_stage23_flat_batched(plan: PermutationPlan, z: jax.Array, *,
     tb = min(TB_S23, T)
     nt = -(-T // tb)
     Tp = nt * tb
-    b1, b2, b3, rowsrc, zp = plan.b1, plan.b2, plan.b3, plan.rowsrc, z
+    b2, b3, rowsrc, zp = plan.b2, plan.b3, plan.rowsrc, z
     if Tp != T:
         pad_t = ((0, Tp - T), (0, 0), (0, 0))
-        b1, b2, b3 = (jnp.pad(b, pad_t) for b in (b1, b2, b3))
+        b2, b3 = (jnp.pad(b, pad_t) for b in (b2, b3))
         # padded tiles self-read row 0 (harmless: output sliced away)
         rowsrc = jnp.pad(rowsrc, (0, (Tp - T) * Q))
     out = pl.pallas_call(
@@ -741,13 +783,11 @@ def apply_stage23_flat_batched(plan: PermutationPlan, z: jax.Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, Q, Q), lambda q, tg: (tg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, Q, Q), lambda q, tg: (tg, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tb, Q, Q), lambda q, tg: (q, tg, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rowsrc, zp, b1, b2, b3)
+    )(rowsrc, zp, b2, b3)
     return out[:, :T].reshape(nrhs, T, TILE)[:, :, :r_p].reshape(
         nrhs, -1)[:, : plan.n]
 

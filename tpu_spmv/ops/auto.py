@@ -45,10 +45,11 @@ def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
 
 
 def gpr_cost_s(nnz: int) -> float:
-    """Measured per-SpMV cost model of the GPR pipeline: ~0.15ns per entry
-    (fused gather+stage1, stage23, step-level reduce) plus a ~90us fixed
-    pipeline cost (launches + y reorder; on-chip, docs/DESIGN.md)."""
-    return nnz * 0.15e-9 + 90e-6
+    """Measured per-SpMV cost model of the GPR pipeline: ~0.155ns per
+    entry (fused gather+stage1, fused stage23+mask-dot reduce) plus a
+    ~35us fixed cost (launches + class combine + y reorder; on-chip
+    round-2 engine: 143us total at 700k nnz, docs/DESIGN.md)."""
+    return nnz * 0.155e-9 + 35e-6
 
 
 @dataclasses.dataclass(frozen=True)
