@@ -21,6 +21,13 @@ the ARM NUMA SpMV library ``ChuheHong/arm-spmv`` (see SURVEY.md):
 
 from __future__ import annotations
 
+from .utils import tune_host_allocator as _tune_host_allocator
+
+# keep glibc's large-allocation arena warm: on lazily-paged VM hosts a
+# fresh numpy buffer faults in at ~6 MB/s while a reused one runs at
+# memory speed (see utils.tune_host_allocator)
+_tune_host_allocator()
+
 from .formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo, FORMATS
 from .ops import (
     spmv, spmm, dot, axpby, axpy, fill, fill_random, scale, shift,

@@ -21,7 +21,39 @@ import numpy as np
 import scipy.sparse as sp
 
 __all__ = ["laplacian_2d", "random_sparse", "banded", "power_law",
-           "block_laplacian", "ensure_native_built"]
+           "block_laplacian", "ensure_native_built", "tune_host_allocator"]
+
+
+@functools.cache
+def tune_host_allocator() -> bool:
+    """Make glibc KEEP and REUSE its large-allocation arena.
+
+    On lazily-restored VM hosts (this TPU environment included), the
+    hypervisor demand-loads guest-physical pages at ~6 MB/s on first
+    touch — a fresh 128 MB numpy buffer costs ~20 s while a reused one
+    costs 15 ms (measured; the guest reports no page faults, so this is
+    invisible to normal profiling).  glibc's default behavior mmaps every
+    large chunk and unmaps it on free, so each pack/convert pays the
+    first-touch cost again.  Raising M_MMAP_THRESHOLD and
+    M_TRIM_THRESHOLD routes large allocations through the sbrk heap and
+    never returns the pages — after a one-time warmup, all host-side
+    packing runs at memory speed.
+
+    Harmless elsewhere (standard HPC allocator tuning).  Disable with
+    ``TPU_SPMV_NO_MALLOPT=1``.
+    """
+    if os.environ.get("TPU_SPMV_NO_MALLOPT"):
+        return False
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        one_gb = 1 << 30
+        ok = libc.mallopt(-3, one_gb)   # M_MMAP_THRESHOLD
+        ok &= libc.mallopt(-1, one_gb)  # M_TRIM_THRESHOLD
+        return bool(ok)
+    except Exception:
+        return False
 
 
 @functools.cache
