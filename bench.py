@@ -228,6 +228,48 @@ def bench_gpr() -> dict:
     }
 
 
+def bench_bsr() -> dict:
+    """BASELINE config 4: BSR SpMV, 8x8 blocks, structured PDE matrix.
+
+    The planner picks the block strategy (BDIA — per-block-diagonal MXU
+    contractions) for the block-Laplacian family; the XLA BSR einsum
+    kernel is the comparison point."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tpu_spmv as ts
+    from tpu_spmv.bench.harness import time_chained
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.utils import block_laplacian
+
+    bs = 8
+    sp_mat = block_laplacian(64, bs=bs, dtype=np.float32)   # 32768 rows
+    plan = plan_spmv(sp_mat, dtype=np.float32)
+    n = sp_mat.shape[0]
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    y = np.asarray(plan(x))
+    ref = sp_mat.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
+    assert rel < 2e-5, f"BSR verification failed: {rel:.3e}"
+
+    scale = np.float32(1.0 / max(float(np.abs(sp_mat).sum(axis=1).max()), 1))
+    kern = plan._kernel
+    dt = time_chained(lambda c, M: kern(M, c) * scale, x, iters=100,
+                      warm=10, operands=(plan.matrix,))
+    gflops = 2 * sp_mat.nnz / dt / 1e9
+    log(f"### BSR TPU GFLOPS = {gflops:.5f}")
+    log(f"bench: block-laplacian bs={bs} strategy={plan.strategy} "
+        f"{dt * 1e6:.0f} us/iter ({gflops:.0f} GFLOP/s) rel={rel:.1e}")
+    return {
+        "strategy": plan.strategy,
+        "us_per_spmv": round(dt * 1e6, 1),
+        "gflops": round(gflops, 2),
+        "nnz": int(sp_mat.nnz),
+        "rel_err": rel,
+    }
+
+
 def main() -> int:
     t_start = time.time()
     import numpy as np
@@ -314,6 +356,9 @@ def main() -> int:
     # --- second metric: GPR on a random pattern (+ general SpMM) ---
     gpr_detail = bench_gpr()
 
+    # --- BASELINE config 4: BSR 8x8 structured-PDE SpMV ---
+    bsr_detail = bench_bsr()
+
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
     print(json.dumps({
         "metric": "csr_spmv_poisson16m_f32_gflops",
@@ -334,6 +379,7 @@ def main() -> int:
             "dist1_parity": round(parity, 3),
             "spmm": spmm_detail,
             "gpr": gpr_detail,
+            "bsr": bsr_detail,
         },
     }))
     return 0

@@ -117,3 +117,24 @@ def test_planner_dia_storage_ratio_only():
     assert s.ndiags * s.nrow > 4 * s.nnz     # sparse-fill diagonals
     plan = plan_spmv(mat, use_pallas=False)
     assert plan.strategy != "dia", plan.strategy
+
+
+def test_planner_gpr_chunked_arm(rng, monkeypatch):
+    # beyond the per-pack routing cap the planner must go ROW-CHUNKED GPR
+    # (round-2: it previously fell back to the XLA csr path past 2.4M nnz);
+    # CHUNK_NNZ is shrunk so the test stays small
+    from tpu_spmv.kernels import gpr as _gpr
+
+    monkeypatch.setattr(_gpr, "CHUNK_NNZ", 5000)
+    mat = utils.random_sparse(4000, 150_000, 16_000 / (4000 * 150_000),
+                              seed=13)
+    plan = plan_spmv(mat, use_pallas=True)
+    assert plan.strategy == "gpr", plan.strategy
+    assert isinstance(plan.matrix, _gpr.GPCSRChunked)
+    assert len(plan.matrix.chunks) >= 3
+    assert all(c.fused for c in plan.matrix.chunks)
+    x = rng.standard_normal(mat.shape[1]).astype(np.float32)
+    y = np.asarray(plan(jnp.asarray(x)), np.float64)
+    ref = mat.astype(np.float64) @ x.astype(np.float64)
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5, rel

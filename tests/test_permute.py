@@ -85,3 +85,53 @@ def test_permutation_is_pytree():
     leaves, treedef = jax.tree_util.tree_flatten(plan)
     plan2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert plan2.n == plan.n
+
+def test_b1_fold_alias_invariant():
+    """Round-2 engine v2 regression: the b1->a3 fold must use each source
+    row's REAL consumer, not invert ``rowsrc`` (idle dest rows self-map
+    onto rows that may also be real sources, so rowsrc is not injective).
+    A small n relative to the padded tile leaves many idle rows, which is
+    exactly the aliasing-prone shape."""
+    rng = np.random.default_rng(11)
+    for n in (300, 5000, 20000):
+        perm = rng.permutation(n)
+        plan = permute.plan_permutation(perm)
+        x = jnp.asarray(rng.random(n), jnp.float32)
+        out = permute.apply_permutation(plan, x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x)[perm])
+
+
+def test_host_planes_out_param():
+    """plan_permutation fills host_planes with numpy planes whose a3 is
+    already b1-composed — applying (a1, a2, a3, exchange, b2, b3) by hand
+    on the host must reproduce the permutation."""
+    rng = np.random.default_rng(12)
+    n = 9000
+    perm = rng.permutation(n)
+    hp = {}
+    plan = permute.plan_permutation(perm, host_planes=hp)
+    assert set(hp) >= {"a1", "a2", "a3", "rowsrc", "b2", "b3"}
+    for k in ("a1", "a2", "a3", "b2", "b3"):
+        assert isinstance(hp[k], np.ndarray) and hp[k].shape[1:] == (128, 128)
+    T, r_p = plan.ntiles, plan.real_per_tile
+    x = rng.random(n)
+    xf = np.zeros(T * r_p)
+    xf[:n] = x
+    z = np.zeros((T, 128, 128))
+    z.reshape(T, -1)[:, :r_p] = xf.reshape(T, r_p)
+
+    def gather_rows(a, g):           # per-row lane gather
+        return np.take_along_axis(a, g, axis=-1)
+
+    z = gather_rows(z, hp["a1"])
+    z = np.swapaxes(z, 1, 2)
+    z = gather_rows(z, hp["a2"])
+    z = np.swapaxes(z, 1, 2)
+    z = gather_rows(z, hp["a3"])
+    rows = z.reshape(T * 128, 128)[hp["rowsrc"]].reshape(T, 128, 128)
+    rows = np.swapaxes(rows, 1, 2)
+    rows = gather_rows(rows, hp["b2"])
+    rows = np.swapaxes(rows, 1, 2)
+    rows = gather_rows(rows, hp["b3"])
+    got = rows.reshape(T, -1)[:, :r_p].reshape(-1)[:n]
+    np.testing.assert_array_equal(got, x[perm])

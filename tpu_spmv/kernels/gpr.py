@@ -59,6 +59,10 @@ CLASS_W = (8, 16, 32, 64, 128)
 MAX_NNZ = 2_400_000
 #: tiles per grid step — 4KB per-tile blocks are DMA-overhead-bound
 TPS = 16
+#: default row-chunk size for pack_gpr_chunked / the planner: below the
+#: ~900k single-level routing cap, so every chunk gets the fused
+#: two-launch pipeline (two-level plans cannot fuse)
+CHUNK_NNZ = 700_000
 
 
 @sparse_dataclass
@@ -745,9 +749,14 @@ def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
     return out[:, :T]
 
 
-#: nrhs ceiling for the batched pipeline (measured crossover vs the
-#: mapped per-rhs path; module-level so probes can override)
-SPMM_BATCH_MAX_NRHS = 16
+#: nrhs ceiling for the batched pipeline.  Measured (engine v2,
+#: tools/profile_spmm.py, 700k-nnz random): batched is 2.0x the mapped
+#: path at nrhs=4 but parity within noise from 16 up — the per-rhs
+#: payload work (gathers/transposes/exchange re-run per rhs in BOTH
+#: paths) dominates once launch overhead is amortized, and the batched
+#: grid still re-fetches planes/vals per rhs sweep.  Module-level so
+#: probes can override.
+SPMM_BATCH_MAX_NRHS = 4
 
 
 def _spmm_gpr_batched_main(A: GPCSR, X: jax.Array, *,
@@ -779,10 +788,13 @@ def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
     rp128 = plan.real_per_tile // LANES
     nrhs, S = int(x3.shape[0]), int(x3.shape[1])
     T = plan.ntiles
-    # rhs per grid step: as many x planes as ~4 MB of VMEM allows —
+    # rhs per grid step: as many x planes as ~2 MB of VMEM allows —
     # fat steps keep the (rhs, tiles) grid near the unbatched step
-    # count (skinny 1-rhs steps made SpMM SLOWER than nrhs SpMVs)
-    qb = max(1, min(_perm.QB_S1, (4 << 20) // (S * LANES * 4), nrhs))
+    # count (skinny 1-rhs steps made SpMM SLOWER than nrhs SpMVs), but
+    # the block must leave room for double buffering (qb=8 at S=782
+    # measured 2x SLOWER than qb=4: the 3.2 MB x3 block + z out blocks
+    # overflowed VMEM headroom)
+    qb = max(1, min(_perm.QB_S1, (2 << 20) // (S * LANES * 4), nrhs))
     nq = -(-nrhs // qb)
     if nq * qb != nrhs:
         x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
@@ -883,7 +895,7 @@ class GPCSRChunked:
 
 
 def pack_gpr_chunked(mat, *, dtype=np.float32,
-                     chunk_nnz: int = 700_000) -> GPCSRChunked:
+                     chunk_nnz: int = CHUNK_NNZ) -> GPCSRChunked:
     """Pack a scipy CSR of any size: split rows into blocks of
     ~``chunk_nnz`` entries, pack each independently."""
     csr = mat.tocsr()

@@ -274,18 +274,35 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
 
             pallas_est = (pallas_ell_cost_s(packed.ntiles, packed.rounds)
                           if packed is not None else float("inf"))
-            gpr_est = (gpr_cost_s(stats.nnz)
-                       if _gpr.supports(mat.shape, stats.nnz) else float("inf"))
+            # GPR envelope: ncol within the (blocked) gather reach; nnz
+            # unlimited via row-chunked packs (each chunk single-level →
+            # the fused two-launch pipeline; chunks add one fixed cost
+            # each).  Chunk below the ~900k single-level routing cap so
+            # no chunk falls to the slower two-level/non-fused path.
+            ncol_ok = mat.shape[1] <= _gpr.CB_SEGS * _gpr.LANES * 10
+            nchunks = max(1, -(-stats.nnz // _gpr.CHUNK_NNZ))
+            gpr_est = ((gpr_cost_s(stats.nnz) + 35e-6 * (nchunks - 1))
+                       if ncol_ok else float("inf"))
             if packed is not None and pallas_est <= gpr_est:
                 return SpmvPlan(packed, "pallas_ell", stats,
                                 _kernel_for_strategy("pallas_ell"))
             # scattered pattern: the gather-permute-reduce pipeline handles
-            # arbitrary patterns at ~25x the XLA fallback (docs/DESIGN.md)
+            # arbitrary patterns at ~77x the XLA fallback (docs/DESIGN.md)
             if gpr_est < float("inf"):
-                gp = _gpr.pack_gpr(
-                    mat if hasattr(mat, "tocsr") else _host_coo(mat, dtype),
-                    dtype=dtype or np.float32,
-                )
+                host = (mat if hasattr(mat, "tocsr")
+                        else _host_coo(mat, dtype))
+                if nchunks > 1:
+                    if not hasattr(host, "tocsr"):
+                        import scipy.sparse as sp
+
+                        host = sp.csr_matrix(
+                            (np.asarray(host.data),
+                             (np.asarray(host.row), np.asarray(host.col))),
+                            shape=host.shape)
+                    gp = _gpr.pack_gpr_chunked(host, dtype=dtype or np.float32,
+                                               chunk_nnz=_gpr.CHUNK_NNZ)
+                else:
+                    gp = _gpr.pack_gpr(host, dtype=dtype or np.float32)
                 return SpmvPlan(gp, "gpr", stats,
                                 _kernel_for_strategy("gpr"))
     if stats.block_fill_8 >= 0.25:
