@@ -137,9 +137,9 @@ def bench_spmm_configs(A_dia, xp_scale) -> dict:
     from tpu_spmv.kernels import dia_stream
 
     NRHS = 32
-    # smaller tiles for the multi-RHS working set (VMEM budget: blocks
-    # scale with rb*nrhs)
-    S32 = dia_stream.pack_sdia(A_dia, rb=4096)
+    # nrhs-aware tile auto-selection: the multi-RHS panels shift the
+    # VMEM optimum (measured 19.5 -> 13.7 ms going rb 4096 -> 65536)
+    S32 = dia_stream.pack_sdia(A_dia, nrhs=NRHS)
     n = A_dia.shape[0]
     # operands live in TRANSPOSED [nrhs, n] layout: [n, 32] would pad
     # lanes 32 -> 128 (4x = 8 GB at this size)

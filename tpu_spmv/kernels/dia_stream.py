@@ -88,16 +88,24 @@ class SDIA:
         return self.data.dtype
 
 
-def _auto_rb(ndiags: int, offsets, nrow: int) -> int | None:
+def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1) -> int | None:
     """Pick the row-tile size: as fat as the data-block budget allows
     (fewer grid steps, smaller halo fraction), shrunk for small matrices
     (whole-tile padding), raised — within 2x budget — when the band needs
-    it.  ``None`` = the band does not fit any feasible tile."""
+    it.  ``None`` = the band does not fit any feasible tile.
+
+    ``nrhs > 1`` (the SpMM layout) makes the [nrhs, rb] X/Y panels the
+    dominant VMEM tenants: cap ``nrhs·rb·4`` at ~8 MB — measured on the
+    84M-nnz Poisson at nrhs=32: rb 4096 → 65536 takes the SpMM from
+    19.5 → 13.7 ms (the h=4096 halo slivers stop tripling X traffic);
+    rb=131072 fails to compile under the 64 MB scoped-vmem limit."""
     need = _roundup(max(max(abs(int(o)) for o in offsets), 1), 1024)
     rb = 65536
     while rb > RB and ndiags * rb * 4 > _DATA_BLOCK_BUDGET:
         rb //= 2
     while rb > RB and rb >= 4 * nrow:
+        rb //= 2
+    while rb > 4096 and nrhs * rb * 4 > (8 << 20):
         rb //= 2
     if need > rb:
         rb = need
@@ -114,14 +122,17 @@ def supports_sdia(offsets, shape, rb: int | None = None) -> bool:
     return max(abs(int(o)) for o in offsets) <= rb
 
 
-def pack_sdia(dia: DIA, rb: int | None = None) -> SDIA:
+def pack_sdia(dia: DIA, rb: int | None = None, *, nrhs: int = 1) -> SDIA:
     """Lay a DIA matrix out in padded-tile row space (device-side ops —
     no host round-trip, so packing a 335 MB operand costs one stream).
 
-    ``rb=None`` auto-selects the tile size (see :func:`_auto_rb`)."""
+    ``rb=None`` auto-selects the tile size (see :func:`_auto_rb`); pass
+    the intended ``nrhs`` when the pack will mostly serve
+    :func:`spmm_sdia_padded_t` — the multi-RHS panels change the VMEM
+    optimum."""
     nrow, ncol = dia.shape
     if rb is None:
-        rb = _auto_rb(dia.ndiags, dia.offsets, nrow)
+        rb = _auto_rb(dia.ndiags, dia.offsets, nrow, nrhs=nrhs)
     if rb is None or not supports_sdia(dia.offsets, dia.shape, rb):
         raise ValueError(
             f"sdia needs a square matrix with a feasible row tile "
