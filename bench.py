@@ -270,6 +270,122 @@ def bench_bsr() -> dict:
     }
 
 
+def bench_cg() -> dict:
+    """Solver throughput the reference's 'solver support' never delivered:
+    CG on a 1024-grid Poisson (1M rows), whole solve as ONE compiled
+    while_loop.  Per-iteration time via maxiter differencing (the
+    chained protocol's analog for solver loops)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.solvers import cg
+
+    import functools
+
+    from tpu_spmv.ops.spmv import spmv
+
+    g = 1024
+    A = build_poisson_dia_device(g, jnp.float32)
+    n = g * g
+    b = jax.random.uniform(jax.random.PRNGKey(3), (n,), jnp.float32)
+
+    # fixed-iteration CG throughput loop: ONE jitted function (static k)
+    # so the timing calls hit the jit cache — per-call cg() would rebuild
+    # its inner jit and the trace jitter would swamp the signal
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_k(Ad, bv, k):
+        r0 = bv
+        p0 = bv
+        rz0 = jnp.vdot(r0, r0)
+
+        def body(_, st):
+            x, r, p, rz = st
+            Ap = spmv(Ad, p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rz_new = jnp.vdot(r, r)
+            p = r + (rz_new / rz) * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = jax.lax.fori_loop(
+            0, k, body, (jnp.zeros_like(bv), r0, p0, rz0))
+        return x
+
+    def run_fenced(k):
+        jnp.sum(run_k(A, b, k)).item()
+
+    run_fenced(10)
+    run_fenced(110)
+    best = {10: float("inf"), 110: float("inf")}
+    for _ in range(3):
+        for k in (10, 110):
+            t0 = time.time()
+            run_fenced(k)
+            best[k] = min(best[k], time.time() - t0)
+    per_iter = (best[110] - best[10]) / 100
+
+    # convergence gate at 1e-4: the 1024^2 Poisson has kappa ~ 4e5, and
+    # f32 CG stagnates near 1e-5 relative residual (roundoff floor —
+    # measured 1.2e-5 at 2000 iterations); 1e-4 is the honest f32 target
+    res = cg(A, b, tol=1e-4, maxiter=2000)
+    rel = float(res.residual_norm / jnp.linalg.norm(b))
+    iters = int(res.iterations)
+    assert bool(res.converged), f"CG failed to converge: rel={rel:.2e}"
+    log(f"bench: cg(poisson {g}x{g}) {per_iter * 1e6:.0f} us/iter, "
+        f"tol=1e-4 in {iters} iters (rel={rel:.1e})")
+    return {
+        "us_per_iteration": round(per_iter * 1e6, 1),
+        "iters_to_1e4": iters,
+        "rel_residual": rel,
+        "nrow": n,
+    }
+
+
+def bench_powerlaw() -> dict:
+    """General-pattern stress: power-law (hub-row) matrix through the
+    planner — exercises chunked packs, sigma-class packing and the
+    >128-per-row side pipelines, the shapes the uniform-random metric
+    never touches."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import time_chained
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.utils import power_law
+
+    n = 200_000
+    sp_mat = power_law(n, n, avg_nnz_per_row=8, alpha=1.5, seed=6,
+                       dtype=np.float32)
+    t0 = time.time()
+    plan = plan_spmv(sp_mat, use_pallas=True, dtype=np.float32)
+    pack_s = time.time() - t0
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    y = np.asarray(plan(x))
+    ref = sp_mat.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
+    assert rel < 2e-5, f"power-law verification failed: {rel:.3e}"
+
+    scale = np.float32(1.0 / max(float(np.abs(sp_mat).sum(axis=1).max()), 1))
+    kern = plan._kernel
+    dt = time_chained(lambda c, M: kern(M, c) * scale, x, iters=50,
+                      warm=5, operands=(plan.matrix,))
+    gflops = 2 * sp_mat.nnz / dt / 1e9
+    log(f"bench: power-law strategy={plan.strategy} {dt * 1e6:.0f} us/iter "
+        f"({gflops:.1f} GFLOP/s) nnz={sp_mat.nnz} rel={rel:.1e} "
+        f"pack={pack_s:.1f}s")
+    return {
+        "strategy": plan.strategy,
+        "us_per_spmv": round(dt * 1e6, 1),
+        "gflops": round(gflops, 3),
+        "nnz": int(sp_mat.nnz),
+        "rel_err": rel,
+        "pack_s": round(pack_s, 2),
+    }
+
+
 def main() -> int:
     t_start = time.time()
     import numpy as np
@@ -359,6 +475,10 @@ def main() -> int:
     # --- BASELINE config 4: BSR 8x8 structured-PDE SpMV ---
     bsr_detail = bench_bsr()
 
+    # --- solver + hub-row generality metrics ---
+    cg_detail = bench_cg()
+    pl_detail = bench_powerlaw()
+
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
     print(json.dumps({
         "metric": "csr_spmv_poisson16m_f32_gflops",
@@ -380,6 +500,8 @@ def main() -> int:
             "spmm": spmm_detail,
             "gpr": gpr_detail,
             "bsr": bsr_detail,
+            "cg": cg_detail,
+            "power_law": pl_detail,
         },
     }))
     return 0

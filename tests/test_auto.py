@@ -83,7 +83,7 @@ def test_planner_gpr_arm(rng):
 
 def test_cost_model_crossover():
     # pin the measured constants: the planner picks pallas_ell exactly when
-    # ntiles*rounds*80ns <= nnz*0.8ns + 250us
+    # ntiles*rounds*12ns + 30us <= nnz*0.155ns + 35us
     from tpu_spmv.ops.auto import gpr_cost_s, pallas_ell_cost_s
 
     nnz = 100_000
@@ -92,6 +92,7 @@ def test_cost_model_crossover():
     # the fixed GPR pipeline cost dominates tiny matrices
     assert gpr_cost_s(0) == 35e-6
     assert abs(gpr_cost_s(1_000_000) - (0.155e-3 + 35e-6)) < 1e-9
+    assert abs(pallas_ell_cost_s(1000, 10) - (0.12e-3 + 30e-6)) < 1e-9
 
 
 def test_planner_dia_storage_ratio_only():

@@ -37,9 +37,13 @@ def test_gpr_oracle(case):
     _check(CASES[case]())
 
 
-def test_gpr_hub_spill():
+def test_gpr_hub_split():
+    # round-2: hub rows (>128 entries) split into virtual rows folded
+    # back by a tiny segment-sum — NO entries on the COO side path
     packed = _check(CASES["power_law_hubs"]())
-    assert packed.side.nnz > 0
+    assert packed.nv > 0
+    assert packed.hub_owner.shape == (packed.nv,)
+    assert packed.side.nnz == 0 and packed.side_gpr is None
 
 
 def test_gpr_nnz_cap():
@@ -148,10 +152,32 @@ def test_gpr_large_ncol_blocked_gather():
     assert rel < 2e-5, rel
 
 
+def _targets_for(m):
+    """Shape targets for a single pack, the way dist.ShardedGPR computes
+    per-shard maxima — targets packs keep the legacy COO side path (hub
+    splitting is data-dependent and not shape-forceable)."""
+    counts = np.diff(m.indptr)
+    cls = np.minimum(np.searchsorted(gpr.CLASS_W, counts),
+                     len(gpr.CLASS_W) - 1)
+    rows_c = np.bincount(cls, minlength=len(gpr.CLASS_W))
+    class_T = tuple(
+        int(-(-rows_c[c] // (8 * (gpr.LANES // W))))
+        for c, W in enumerate(gpr.CLASS_W))
+    side_nnz = int(np.maximum(counts - gpr.LANES, 0).sum())
+    main_mask = (np.arange(m.nnz) - m.indptr[:-1].repeat(counts)) < gpr.LANES
+    segs = m.indices[main_mask] >> 7
+    seg_cnt = np.bincount(segs) if len(segs) else np.zeros(1, int)
+    NS = max(int((-(-seg_cnt[seg_cnt > 0] // gpr.LANES)).sum()), 1)
+    return {"ns8": -(-NS // 8) * 8, "class_T": class_T,
+            "side_nnz": side_nnz, "rp": 11264}
+
+
 def test_spmm_gpr_hub_fallback_no_double_count():
-    # regression: the mapped fallback (nrhs > 16) already adds the hub-row
-    # side contributions inside each SpMV — adding them again in spmm_gpr
-    # returned rel err ~0.37 (code-review r2 finding)
+    # regression: the mapped fallback (nrhs > batch cap) already adds the
+    # hub-row side contributions inside each SpMV — adding them again in
+    # spmm_gpr returned rel err ~0.37 (code-review r2 finding).  Built
+    # with shape targets so the pack keeps the COO side path (round-2
+    # hub splitting removed it from ordinary packs).
     import scipy.sparse as sp
 
     rng = np.random.default_rng(41)
@@ -162,8 +188,10 @@ def test_spmm_gpr_hub_fallback_no_double_count():
     vals = np.concatenate([base.data, rng.random(200)])
     m = sp.csr_matrix((vals, (rows, cols)), shape=(400, 400))
     m.sum_duplicates()
-    g = gpr.pack_gpr(m, dtype=np.float32)
-    assert g.side.nnz > 0 or g.side_gpr is not None
+    m.sort_indices()
+    g = gpr.pack_gpr(m, dtype=np.float32, targets=_targets_for(m),
+                     padded_y=True)
+    assert g.side.nnz > 0
     X = np.random.default_rng(42).random((400, 17)).astype(np.float32)
     Y = np.asarray(gpr.spmm_gpr(g, jnp.asarray(X), interpret=True))
     ref = m.astype(np.float64) @ X.astype(np.float64)

@@ -296,8 +296,8 @@ def pack_ell(mat, *, rows_per_sublane: int | None = None,
     )
 
 
-def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref, *,
-            rounds, tiles_per_step, tile_uniform):
+def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref,
+            prod_ref, *, rounds, tiles_per_step, tile_uniform, k):
     def body(tb, _):
         vals = vals_ref[tb]
         lidx = lidx_ref[tb].astype(jnp.int32)
@@ -316,18 +316,22 @@ def _kernel(seg_ref, vals_ref, lidx_ref, rnd_ref, x_ref, mask_ref, o_ref, *,
                 )
             gm = jnp.take_along_axis(tile, lidx, axis=1)
             g = jnp.where(rnd == m, gm.astype(vals.dtype), g)
-        prod = vals * g
-        # row reduction: [8,128] @ [128,k] block-diagonal 0/1 mask.
-        # HIGHEST precision: the MXU's default bf16 passes would truncate
-        # f32 products to ~3 digits (observed rel err 4e-3 on chip).
-        o_ref[tb] = lax.dot_general(
-            prod, mask_ref[:], (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=vals.dtype,
-        )
+        # stage the product; the row reduction happens ONCE per grid step
+        prod_ref[pl.ds(tb * 8, 8), :] = vals * g
         return 0
 
     lax.fori_loop(0, tiles_per_step, body, 0)
+    # row reduction: one fat [tps*8,128] @ [128,k] block-diagonal mask-dot
+    # per STEP (per-tile [8,128] dots cost ~150-200ns each in step
+    # overhead — the round-2 GPR reduce showed the same crossover).
+    # HIGHEST precision: the MXU's default bf16 passes would truncate
+    # f32 products to ~3 digits (observed rel err 4e-3 on chip).
+    out = lax.dot_general(
+        prod_ref[:], mask_ref[:], (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=o_ref.dtype,
+    )
+    o_ref[:] = out.reshape(tiles_per_step, 8, k)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "with_side"))
@@ -370,8 +374,9 @@ def spmv_pallas(A: PackedELL, x: jax.Array, *, interpret: bool = False,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, rounds=A.rounds, tiles_per_step=tps,
-                          tile_uniform=A.tile_uniform),
+                          tile_uniform=A.tile_uniform, k=k),
         out_shape=jax.ShapeDtypeStruct((Tpad, 8, k), A.vals.dtype),
+        scratch_shapes=[pltpu.VMEM((tps * 8, LANES), A.vals.dtype)],
         grid=(nsteps,),
         in_specs=[
             # per-round segment ids: small per-step block in SMEM (scalar

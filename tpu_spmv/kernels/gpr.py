@@ -100,6 +100,8 @@ class GPCSR:
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
     class_tiles: tuple = static_field()
+    #: [nv] int32 owning logical row per virtual (hub-split) row, or None
+    hub_owner: object = None
     #: per-column-block gather operands for ncol > ~3M (x2d cannot stay
     #: VMEM-resident whole): tuple of (gseg_b, glidx_b) pairs with
     #: SEGMENT-RELATIVE row ids; () when single-block.
@@ -110,6 +112,8 @@ class GPCSR:
     #: glidx) and stage-2/3 fused with the mask-dot reduce (vals in plan
     #: layout).  Set at pack time iff single-block + single-level plan.
     fused: bool = static_field(default=False)
+    #: number of virtual hub-split rows appended after shape[0] real rows
+    nv: int = static_field(default=0)
 
     @property
     def ntiles(self) -> int:
@@ -173,17 +177,50 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         indptr = np.zeros(nrow + 1, dtype=np.int64)
         np.cumsum(counts0, out=indptr[1:])
     nnz = len(cols)
+    nrow_logical = nrow
+    # ---- hub-row splitting (round 2): rows beyond 128 entries become
+    # VIRTUAL rows of <= 128 entries appended after the real row space; a
+    # tiny sorted segment-sum folds them back after the reduce.  The
+    # whole matrix then flows through the fused pipeline — the COO side
+    # path (0.13 Gval/s) and nested side packs disappear (power-law
+    # 200k/1.5M-nnz measured 2.1 ms -> main-pipeline speed).  Under
+    # ``targets`` the old side-COO path is kept (virtual-row counts are
+    # data-dependent and could not be shape-forced cheaply).
+    hub_owner = np.zeros(0, dtype=np.int32)
+    counts = np.diff(indptr)
+    # (skip splitting when the FULL nnz exceeds the routing cap — e.g. a
+    # single >MAX_NNZ hub row packed directly: only its first 128 entries
+    # route and the tail keeps the legacy side path; pack_gpr_chunked
+    # keeps chunks under the cap, so chunked packs always split)
+    if (targets is None and counts.max(initial=0) > LANES
+            and nnz <= MAX_NNZ):
+        row_ids0 = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+        offs0 = np.arange(nnz, dtype=np.int64) - indptr[row_ids0]
+        blk = offs0 >> 7                       # 128-entry block within row
+        hub = blk > 0
+        maxb = int(blk.max()) + 1
+        uniq, inv = np.unique(row_ids0[hub] * maxb + blk[hub],
+                              return_inverse=True)
+        new_rows = row_ids0.copy()
+        new_rows[hub] = nrow + inv
+        hub_owner = (uniq // maxb).astype(np.int32)
+        nrow = nrow + len(uniq)
+        order = np.lexsort((cols, new_rows))
+        cols = cols[order]
+        data = data[order]
+        counts = np.bincount(new_rows, minlength=nrow)
+        indptr = np.zeros(nrow + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
     # the routing cap applies to the MAIN (<=128-per-row) part — tails
     # beyond 128/row spill to side_gpr/COO below, so a few huge hub rows
     # don't disqualify the whole pack (ADVICE r1: single-row chunks from
     # pack_gpr_chunked must not fail here)
-    main_nnz = int(np.minimum(np.diff(indptr), LANES).sum())
+    main_nnz = int(np.minimum(counts, LANES).sum())
     if main_nnz > MAX_NNZ:
         raise ValueError(
             f"main nnz={main_nnz} > {MAX_NNZ}: chunk by row blocks"
         )
-    row_ids = np.repeat(np.arange(nrow, dtype=np.int64), np.diff(indptr))
-    counts = np.diff(indptr)
+    row_ids = np.repeat(np.arange(nrow, dtype=np.int64), counts)
 
     # ---- width classes ----------------------------------------------------
     cls = np.minimum(np.searchsorted(CLASS_W, counts), len(CLASS_W) - 1)
@@ -389,11 +426,13 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         side=side,
         side_gpr=side_gpr,
         gblocks=gblocks,
-        shape=(int(nrow), int(ncol)),
+        shape=(int(nrow_logical), int(ncol)),
         nnz=int(nnz),
         class_tiles=tuple(class_tiles),
         col_blocks=col_blocks,
         fused=fused,
+        hub_owner=(jnp.asarray(hub_owner) if len(hub_owner) else None),
+        nv=int(len(hub_owner)),
     )
 
 
@@ -559,8 +598,10 @@ def _reduce_all_classes(vals, g3, class_tiles, interpret):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """``A @ x`` via gather -> permute -> per-class reduce -> y reorder."""
-    nrow, ncol = A.shape
+    """``A @ x`` via gather -> permute -> per-class reduce -> y reorder
+    (plus the virtual-row fold for hub-split packs)."""
+    nrow_l, ncol = A.shape
+    nrow = nrow_l + A.nv           # internal row space incl. virtual rows
     S = -(-ncol // LANES)
     xpad = jnp.pad(x, (0, S * LANES - ncol)) if S * LANES != ncol else x
     x2d = xpad.reshape(S, LANES).astype(A.vals.dtype)
@@ -642,6 +683,12 @@ def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
         y = y_sorted
     if y.shape[0] > nrow:
         y = y[:nrow]
+    if A.nv:
+        # fold virtual hub-split rows back into their owners (sorted ids;
+        # nv is tiny — hundreds of partials, not a hot path)
+        y = y[:nrow_l] + jax.ops.segment_sum(
+            y[nrow_l:nrow], A.hub_owner, num_segments=nrow_l,
+            indices_are_sorted=True)
     if A.side_gpr is not None:
         y = y + spmv_gpr(A.side_gpr, x, interpret=interpret)
     if A.side.nnz:
@@ -824,7 +871,8 @@ def _spmm_reduce_restore(A: GPCSR, P2: jax.Array, *,
                          interpret: bool = False) -> jax.Array:
     """Batched class combine + y-order restore: width-8 partials
     ``P2 [nrhs, T*rp128, 16]`` → ``[nrhs, nrow]``."""
-    nrow = A.shape[0]
+    nrow_l = A.shape[0]
+    nrow = nrow_l + A.nv
     nrhs = int(P2.shape[0])
     parts = _combine_partials(P2, A.class_tiles)
     y_sorted = (jnp.concatenate(parts, axis=1) if len(parts) > 1
@@ -838,6 +886,10 @@ def _spmm_reduce_restore(A: GPCSR, P2: jax.Array, *,
             A.yplan, y_sorted, interpret=interpret)
     if y_sorted.shape[1] > nrow:
         y_sorted = y_sorted[:, :nrow]
+    if A.nv:
+        fold = jax.vmap(lambda e: jax.ops.segment_sum(
+            e, A.hub_owner, num_segments=nrow_l, indices_are_sorted=True))
+        y_sorted = y_sorted[:, :nrow_l] + fold(y_sorted[:, nrow_l:nrow])
     return y_sorted
 
 

@@ -39,9 +39,10 @@ __all__ = ["SpmvPlan", "analyze", "plan_spmv", "plan_from_matrix",
 
 def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
     """Measured per-SpMV cost model of the Pallas packed-ELL kernel:
-    ~80ns per tile-round (lane-gather + select + loop bound; on-chip
-    measurement, docs/DESIGN.md)."""
-    return ntiles * rounds * 80e-9
+    ~12ns per tile-round plus ~30us fixed (round-2 re-calibration,
+    tools/profile_psell.py, after the per-step fat mask-dot restructure;
+    the pre-restructure model was 80ns/tile-round)."""
+    return ntiles * rounds * 12e-9 + 30e-6
 
 
 def gpr_cost_s(nnz: int) -> float:
@@ -263,13 +264,23 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
         # device-array conversion during planning)
         if mat.shape[1] <= 3_000_000 and mat.shape[0] >= 1:
             source = _host_coo(mat, dtype)
-            try:
-                # the kernel unrolls its gather rounds: a large M (scattered
-                # columns, e.g. big uniform-random patterns) blows up both
-                # compile and run time — max_rounds rejects those early
-                packed = ell_pallas.pack_ell(source, max_rounds=48, dtype=dtype)
-            except ValueError:
+            if stats.max_row_nnz > 128:
+                # hub rows: PSELL would clip them onto its COO side path
+                # (the catastrophic scatter route) AND its layout probe is
+                # expensive at k=1 — GPR splits hubs into virtual rows
+                # instead.  Skip the probe entirely (measured: the probe
+                # alone cost 238s on a 200k-row power-law matrix).
                 packed = None
+            else:
+                try:
+                    # the kernel unrolls its gather rounds: a large M
+                    # (scattered columns, e.g. big uniform-random
+                    # patterns) blows up both compile and run time —
+                    # max_rounds rejects those early
+                    packed = ell_pallas.pack_ell(source, max_rounds=48,
+                                                 dtype=dtype)
+                except ValueError:
+                    packed = None
             from ..kernels import gpr as _gpr
 
             pallas_est = (pallas_ell_cost_s(packed.ntiles, packed.rounds)
