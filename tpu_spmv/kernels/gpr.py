@@ -949,27 +949,47 @@ class GPCSRChunked:
 def pack_gpr_chunked(mat, *, dtype=np.float32,
                      chunk_nnz: int = CHUNK_NNZ) -> GPCSRChunked:
     """Pack a scipy CSR of any size: split rows into blocks of
-    ~``chunk_nnz`` entries, pack each independently."""
+    ~``chunk_nnz`` entries, pack each independently.
+
+    Blocks whose routing comes out TWO-LEVEL (skewed flows can break the
+    single-level row budget well below the nominal ~900k cap — observed
+    on power-law column distributions) are split in half and re-packed:
+    every chunk then runs the fused two-launch pipeline, which is worth
+    far more than fewer chunks (a two-level chunk runs the generic
+    3-launch path at ~2.5x the cost)."""
     csr = mat.tocsr()
     csr.sort_indices()
     nrow, ncol = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     nnz = int(indptr[-1])
-    # greedy cuts BEFORE the row that crosses the target (never after —
-    # overshoot past MAX_NNZ used to fail the whole pack, ADVICE r1); a
-    # single row heavier than chunk_nnz becomes its own chunk, whose >128
-    # tail spills to the side path inside pack_gpr
-    splits = [0]
+
+    def cut(lo, target):
+        # cut BEFORE the row that crosses the target (never after —
+        # overshoot past MAX_NNZ used to fail the whole pack, ADVICE r1);
+        # a single row heavier than the target becomes its own block,
+        # whose >128 tail spills to the side path inside pack_gpr
+        hi = int(np.searchsorted(indptr, indptr[lo] + target,
+                                 side="right")) - 1
+        return min(max(hi, lo + 1), nrow)
+
+    def pack_block(lo, hi, depth=0):
+        p = pack_gpr(csr[lo:hi], dtype=dtype)
+        if p.fused or hi - lo <= 1 or depth >= 4 or p.col_blocks:
+            return [(lo, hi, p)]
+        mid = cut(lo, max((int(indptr[hi]) - int(indptr[lo])) // 2, 1))
+        if mid >= hi:
+            return [(lo, hi, p)]
+        return (pack_block(lo, mid, depth + 1)
+                + pack_block(mid, hi, depth + 1))
+
+    blocks = []
     lo = 0
     while lo < nrow:
-        hi = int(np.searchsorted(indptr, indptr[lo] + chunk_nnz,
-                                 side="right")) - 1
-        hi = min(max(hi, lo + 1), nrow)
-        splits.append(hi)
+        hi = cut(lo, chunk_nnz)
+        blocks.extend(pack_block(lo, hi))
         lo = hi
-    chunks = []
-    for lo, hi in zip(splits[:-1], splits[1:]):
-        chunks.append(pack_gpr(csr[lo:hi], dtype=dtype))
+    splits = [0] + [hi for (_, hi, _) in blocks]
+    chunks = [p for (_, _, p) in blocks]
     return GPCSRChunked(
         chunks=tuple(chunks),
         shape=(int(nrow), int(ncol)),
