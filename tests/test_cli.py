@@ -74,3 +74,33 @@ def test_cli_float64(mtx_file, capsys):
                  "--dtype", "float64"]) == 0
     out = capsys.readouterr().out
     assert "GFLOPS =" in out
+
+
+def test_cli_solve_cg(capsys):
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "laplacian:12", "--formats", "csr",
+               "--iters", "3", "--no-check", "--solve", "pcg",
+               "--tol", "1e-6", "--json"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    import json as _json
+
+    recs = [_json.loads(l) for l in lines if l.startswith("{")]
+    solve = [r for r in recs if r.get("solver") == "pcg"]
+    assert solve and solve[0]["converged"] and solve[0]["rel_residual"] < 1e-5
+
+
+def test_cli_solve_power(capsys):
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "laplacian:10", "--formats", "csr",
+               "--iters", "3", "--no-check", "--solve", "power", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    recs = [_json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    pw = [r for r in recs if r.get("solver") == "power"]
+    # 2-D Laplacian spectrum tops out just below 8
+    assert pw and 6.0 < pw[0]["eigenvalue"] <= 8.0

@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
+    p.add_argument("--solve", choices=["cg", "pcg", "power"], default=None,
+                   help="run a solver on the matrix (cg / Jacobi-pcg on a "
+                        "synthetic right-hand side; power = dominant "
+                        "eigenpair) and report iterations + residual + "
+                        "wall time")
+    p.add_argument("--tol", type=float, default=1e-6,
+                   help="solver convergence tolerance (with --solve)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per result instead of text")
@@ -237,6 +244,50 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                                quiet=args.json)
         if args.json:
             results.append(line)
+
+    if args.solve is not None:
+        import time as _time
+
+        import numpy as _np
+
+        from .ops.auto import plan_spmv
+        from .solvers import cg, jacobi_preconditioner, power_iteration
+
+        plan = plan_spmv(host_mat, dtype=dtype,
+                         use_pallas=args.pallas or None)
+        t0 = _time.time()
+        if args.solve == "power":
+            lam, v = power_iteration(plan.matrix, iters=200)
+            jax.block_until_ready(v)
+            line = {"solver": "power", "eigenvalue": float(lam),
+                    "wall_s": round(_time.time() - t0, 3)}
+            msg = (f"    power-iteration: lambda_max = {float(lam):.6g} "
+                   f"({line['wall_s']}s)")
+        else:
+            if coo.shape[0] != coo.shape[1]:
+                print("error: --solve cg/pcg needs a square matrix",
+                      file=sys.stderr)
+                return 2
+            rng_b = _np.random.default_rng(args.seed + 1)
+            b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)
+            precond = (jacobi_preconditioner(plan.matrix)
+                       if args.solve == "pcg" else None)
+            res = cg(plan.matrix, b, tol=args.tol, maxiter=10_000,
+                     precond=precond)
+            jax.block_until_ready(res.x)
+            rel = float(res.residual_norm / jnp.linalg.norm(b))
+            line = {"solver": args.solve, "strategy": plan.strategy,
+                    "iterations": int(res.iterations),
+                    "rel_residual": rel,
+                    "converged": bool(res.converged),
+                    "wall_s": round(_time.time() - t0, 3)}
+            msg = (f"    {args.solve.upper()} ({plan.strategy}): "
+                   f"{line['iterations']} iters, rel residual {rel:.2e}, "
+                   f"converged={line['converged']} ({line['wall_s']}s)")
+        if args.json:
+            results.append(line)
+        else:
+            print(msg)
 
     if args.json:
         for r in results:
