@@ -133,3 +133,25 @@ def test_sdia_roundtrip(tmp_path):
     ref = mat.astype(np.float64) @ x
     rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5, rel
+
+
+def test_stale_checkpoint_raises(tmp_path):
+    # a checkpoint written by an older revision may carry fields the
+    # current dataclass dropped (e.g. PermutationPlan.b1 pre-fold); the
+    # loader must raise the clean "stale" error the CLI cache catches
+    import json
+
+    import pytest
+
+    plan = plan_permutation(np.random.default_rng(9).permutation(2000))
+    p = tmp_path / "plan.npz"
+    checkpoint.save_matrix(p, plan)
+    with np.load(p) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    meta["spec"]["fields"]["b1"] = None        # field from the old layout
+    np.savez_compressed(
+        p, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **arrays)
+    with pytest.raises(ValueError, match="stale checkpoint"):
+        checkpoint.load_matrix(p)

@@ -89,7 +89,10 @@ def test_gpr_supports():
     # ncol up to ~10 column blocks is in-envelope (blocked gather)
     assert gpr.supports((1000, 5_000_000), 50_000)
     assert not gpr.supports((1000, 50_000_000), 50_000)
-    assert not gpr.supports((1000, 1000), 10**7)
+    # nnz is unlimited on the (default) chunked path; the single-pack
+    # routing cap applies only to pack_gpr itself
+    assert gpr.supports((1000, 1000), 10**7)
+    assert not gpr.supports((1000, 1000), 10**7, chunked=False)
 
 
 def test_gpr_chunked():

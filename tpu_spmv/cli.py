@@ -82,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve", choices=["cg", "pcg", "power"], default=None,
                    help="run a solver on the matrix (cg / Jacobi-pcg on a "
-                        "synthetic right-hand side; power = dominant "
+                        "synthetic right-hand side — the matrix should be "
+                        "SPD for these to converge; power = dominant "
                         "eigenpair) and report iterations + residual + "
                         "wall time")
     p.add_argument("--tol", type=float, default=1e-6,
@@ -176,11 +177,18 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             if os.path.exists(cache_file):
                 from .io.checkpoint import load_matrix
 
-                A, extra = load_matrix(cache_file, with_extra=True)
-                plan = plan_from_matrix(A, extra["strategy"])
-                if not args.json:
-                    print(f"planner: reloaded {extra['strategy']} pack "
-                          f"from {cache_file} (no re-analysis)")
+                try:
+                    A, extra = load_matrix(cache_file, with_extra=True)
+                    plan = plan_from_matrix(A, extra["strategy"])
+                    if not args.json:
+                        print(f"planner: reloaded {extra['strategy']} pack "
+                              f"from {cache_file} (no re-analysis)")
+                except (ValueError, KeyError, TypeError) as e:
+                    # stale checkpoint (e.g. written by an older pack
+                    # layout): fall back to re-planning + overwrite
+                    if not args.json:
+                        print(f"planner: cache stale ({e}); re-packing")
+                    plan = None
         if plan is None:
             # plan from the host-side matrix: packing stays off-device
             plan = plan_spmv(host_mat, dtype=dtype)
@@ -251,37 +259,49 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
         import numpy as _np
 
         from .ops.auto import plan_spmv
-        from .solvers import cg, jacobi_preconditioner, power_iteration
+        from .solvers import cg, power_iteration
 
-        plan = plan_spmv(host_mat, dtype=dtype,
-                         use_pallas=args.pallas or None)
+        if coo.shape[0] != coo.shape[1]:
+            print("error: --solve needs a square matrix", file=sys.stderr)
+            return 2
+        # reuse the --auto plan (possibly cache-loaded) instead of paying
+        # analysis + packing a second time; the SpmvPlan itself is the
+        # matvec — packed strategies (GPR/PSELL/SDIA) don't flow through
+        # the basic-format spmv dispatcher
+        solve_plan = (plan if args.auto
+                      else plan_spmv(host_mat, dtype=dtype,
+                                     use_pallas=args.pallas or None))
+        matvec = solve_plan
         t0 = _time.time()
         if args.solve == "power":
-            lam, v = power_iteration(plan.matrix, iters=200)
+            lam, v = power_iteration(matvec, n=coo.shape[0], iters=200)
             jax.block_until_ready(v)
             line = {"solver": "power", "eigenvalue": float(lam),
                     "wall_s": round(_time.time() - t0, 3)}
             msg = (f"    power-iteration: lambda_max = {float(lam):.6g} "
                    f"({line['wall_s']}s)")
         else:
-            if coo.shape[0] != coo.shape[1]:
-                print("error: --solve cg/pcg needs a square matrix",
-                      file=sys.stderr)
-                return 2
             rng_b = _np.random.default_rng(args.seed + 1)
             b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)
-            precond = (jacobi_preconditioner(plan.matrix)
-                       if args.solve == "pcg" else None)
-            res = cg(plan.matrix, b, tol=args.tol, maxiter=10_000,
+            precond = None
+            if args.solve == "pcg":
+                # Jacobi from the HOST diagonal: packed strategy formats
+                # don't support the convert() the format-based helper uses
+                d = np.asarray(host_mat.diagonal(), dtype=np.float64)
+                inv = jnp.asarray(
+                    np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0),
+                    dtype=dtype)
+                precond = lambda r: inv * r
+            res = cg(matvec, b, tol=args.tol, maxiter=10_000,
                      precond=precond)
             jax.block_until_ready(res.x)
             rel = float(res.residual_norm / jnp.linalg.norm(b))
-            line = {"solver": args.solve, "strategy": plan.strategy,
+            line = {"solver": args.solve, "strategy": solve_plan.strategy,
                     "iterations": int(res.iterations),
                     "rel_residual": rel,
                     "converged": bool(res.converged),
                     "wall_s": round(_time.time() - t0, 3)}
-            msg = (f"    {args.solve.upper()} ({plan.strategy}): "
+            msg = (f"    {args.solve.upper()} ({solve_plan.strategy}): "
                    f"{line['iterations']} iters, rel residual {rel:.2e}, "
                    f"converged={line['converged']} ({line['wall_s']}s)")
         if args.json:

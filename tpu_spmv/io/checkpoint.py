@@ -88,6 +88,18 @@ def _deserialize(spec, z, classes: dict):
     kwargs = {k: _deep_tuple(v) for k, v in spec["static"].items()}
     for name, sub in spec["fields"].items():
         kwargs[name] = _deserialize(sub, z, classes)
+    # forward compatibility: checkpoints written by an older revision may
+    # carry fields a newer dataclass dropped (e.g. PermutationPlan.b1
+    # after the round-2 b1->a3 fold).  Unknown fields cannot be applied
+    # to the new semantics, so the checkpoint is stale — raise the
+    # error callers (cli --cache) treat as "re-pack"
+    known = {f.name for f in dataclasses.fields(cls)}
+    stale = set(kwargs) - known
+    if stale:
+        raise ValueError(
+            f"stale checkpoint: {spec['__class__']} no longer has "
+            f"field(s) {sorted(stale)} — delete and re-pack"
+        )
     return cls(**kwargs)
 
 

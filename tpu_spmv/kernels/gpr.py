@@ -134,15 +134,21 @@ class GPCSR:
 CB_SEGS = 22_000
 
 
-def supports(shape, nnz) -> bool:
-    # ncol beyond one VMEM-resident x2d uses the blocked gather; cap the
-    # block count at ~10 (per-block launch cost ~20-30us each)
-    return shape[1] <= CB_SEGS * LANES * 10 and nnz <= MAX_NNZ
+def supports(shape, nnz, *, chunked: bool = True) -> bool:
+    """GPR envelope.  The ncol bound is the blocked gather's reach (block
+    count capped at ~10; per-block launch cost ~20-30us each).  With
+    ``chunked`` (the planner's path) nnz is unlimited — row chunks of
+    ``CHUNK_NNZ`` each carry their own plan; ``chunked=False`` gives the
+    single-pack (``pack_gpr``) cap."""
+    if shape[1] > CB_SEGS * LANES * 10:
+        return False
+    return True if chunked else nnz <= MAX_NNZ
 
 
 def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
              targets: dict | None = None,
-             padded_y: bool = False) -> GPCSR:
+             padded_y: bool = False,
+             single_level_only: bool = False) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline.
 
     ``targets`` forces the pack's static layout to given sizes so that
@@ -342,7 +348,10 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         plan = _perm.plan_permutation(perm, force_r_p=targets["rp"],
                                       host_planes=hp)
     else:
-        plan = _perm.plan_permutation_auto(perm, host_planes=hp)
+        # single_level_only raises before any coloring when the flows
+        # need two-level routing — the adaptive chunker splits instead
+        plan = _perm.plan_permutation_auto(
+            perm, host_planes=hp, two_level=not single_level_only)
 
     # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
     col_blocks: tuple = ()
@@ -973,14 +982,22 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         return min(max(hi, lo + 1), nrow)
 
     def pack_block(lo, hi, depth=0):
-        p = pack_gpr(csr[lo:hi], dtype=dtype)
-        if p.fused or hi - lo <= 1 or depth >= 4 or p.col_blocks:
-            return [(lo, hi, p)]
-        mid = cut(lo, max((int(indptr[hi]) - int(indptr[lo])) // 2, 1))
-        if mid >= hi:
-            return [(lo, hi, p)]
-        return (pack_block(lo, mid, depth + 1)
-                + pack_block(mid, hi, depth + 1))
+        last = hi - lo <= 1 or depth >= 4
+        try:
+            # fail BEFORE any coloring/upload when the block needs
+            # two-level routing (the feasibility search is pure budget
+            # arithmetic) — splitting is cheaper than a discarded pack
+            p = pack_gpr(csr[lo:hi], dtype=dtype,
+                         single_level_only=not last)
+        except ValueError:
+            if last:
+                raise
+            mid = cut(lo, max((int(indptr[hi]) - int(indptr[lo])) // 2, 1))
+            if mid >= hi:
+                return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype))]
+            return (pack_block(lo, mid, depth + 1)
+                    + pack_block(mid, hi, depth + 1))
+        return [(lo, hi, p)]
 
     blocks = []
     lo = 0

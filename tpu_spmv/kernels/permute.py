@@ -599,20 +599,28 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
 
 
 def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
-                          host_planes: dict | None = None):
+                          host_planes: dict | None = None,
+                          two_level: bool = True):
     """Single-level when feasible (one engine pass), two-level beyond the
     ~900k cap.  Returns ``PermutationPlan`` or ``TwoLevelPlan``; both are
     accepted by :func:`apply_permutation`.  ``host_planes`` is filled
     only on the single-level path (two-level passes cannot be fused into
-    a producer's gather)."""
+    a producer's gather).  ``two_level=False`` raises instead of falling
+    back — the cheap escape hatch for callers (gpr's adaptive chunker)
+    that would rather split the problem than pay two-level routing, as
+    the single-level feasibility search fails BEFORE any coloring."""
     perm = np.asarray(perm, dtype=np.int64)
     if len(perm) > 1_600_000:
+        if not two_level:
+            raise ValueError(f"n={len(perm)} needs two-level routing")
         # single-level is infeasible for random flows well before this;
         # skip the (expensive) downward feasibility search entirely
         return plan_permutation_two_level(perm)
     try:
         return plan_permutation(perm, slack=slack, host_planes=host_planes)
     except ValueError:
+        if not two_level:
+            raise
         # two-level needs its own (larger) slack budget — see its docstring
         return plan_permutation_two_level(perm)
 

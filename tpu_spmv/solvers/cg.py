@@ -97,11 +97,15 @@ def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
     return CGResult(x=x, iterations=it, residual_norm=rnorm, converged=ok)
 
 
-def power_iteration(A, *, key=None, iters: int = 50) -> tuple[jax.Array, jax.Array]:
+def power_iteration(A, *, key=None, iters: int = 50,
+                    n: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Dominant eigenvalue/vector via ``lax.scan`` (also the shape of the
-    bench harness's chained-timing loop)."""
+    bench harness's chained-timing loop).  Matvec-closure callers (no
+    ``.shape``) must pass ``n``."""
     matvec = _as_matvec(A)
-    n = A.shape[0] if hasattr(A, "shape") else None
+    n = A.shape[0] if hasattr(A, "shape") else n
+    if n is None:
+        raise ValueError("power_iteration needs n= for matvec closures")
     if key is None:
         key = jax.random.key(0)
     v0 = jax.random.uniform(key, (n,))
