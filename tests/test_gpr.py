@@ -200,3 +200,30 @@ def test_spmm_gpr_hub_fallback_no_double_count():
     ref = m.astype(np.float64) @ X.astype(np.float64)
     rel = np.max(np.abs(Y - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5, rel
+
+
+def test_gpr_edge_shapes():
+    """Degenerate shapes: tiny, all-zero, single row/col, empty leading
+    rows, ncol < 128 — every one must pack and match the oracle."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    cases = [
+        sp.random(5, 5, 0.5, random_state=1, format="csr"),
+        sp.random(1, 300, 0.3, random_state=2, format="csr"),
+        sp.random(300, 1, 0.3, random_state=3, format="csr"),
+        sp.csr_matrix((7, 9)),
+        sp.random(50, 60, 0.01, random_state=4, format="csr"),
+        sp.vstack([sp.csr_matrix((40, 500)),
+                   sp.random(60, 500, 0.1, random_state=6,
+                             format="csr")]).tocsr(),
+    ]
+    for m in cases:
+        m = m.tocsr()
+        m.sort_indices()
+        A = gpr.pack_gpr(m, dtype=np.float32)
+        x = rng.random(m.shape[1]).astype(np.float32)
+        y = np.asarray(gpr.spmv_gpr(A, jnp.asarray(x), interpret=True))
+        ref = m.astype(np.float64) @ x
+        denom = max(np.abs(ref).max(), 1e-30)
+        assert np.abs(y - ref).max() / denom < 2e-5, m.shape
