@@ -236,10 +236,15 @@ def bench_spmv(A, x, *, mode: str = "TPU", iters: int = DEFAULT_ITERS,
     nnz = A.nnz if hasattr(A, "nnz") else to_coo(A).nnz
     rf: Roofline = roofline(A, sec, nnz=nnz, x_dtype=x.dtype)
     name = format_name(A)
+    # small/fast kernels can complete inside the dispatch-time noise the
+    # chained differencing cancels; a clamped-to-floor time means "too
+    # fast to resolve at this size", not a real rate
+    resolved = sec > 2e-9
     if not quiet:
         # the reference's grep-able protocol line (main.cpp:61 etc.)
         print(f"### {name} {mode} GFLOPS = {rf.gflops * 1:.5f}")
-        print(f"    {name} {mode}: {rf.summary()} | rel_err={rel:.2e}")
+        note = "" if resolved else " (below timer resolution at this size)"
+        print(f"    {name} {mode}: {rf.summary()} | rel_err={rel:.2e}{note}")
     return {
         "format": name,
         "mode": mode,
