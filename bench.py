@@ -2,11 +2,16 @@
 """Driver benchmark: ONE JSON line on stdout with the headline metric.
 
 Headline: SpMV on a 4096-grid 2-D Poisson matrix (16.8M rows, 83.9M nnz)
-in the planner's DIA strategy, float32, on the real chip.  The per-iter
-working set (~470 MB: 335 MB diagonal data + x + y) is ~30x VMEM, so the
-reported roofline fraction is a true HBM-bandwidth measurement — round 1
-benched a 1M-row matrix whose 24 MB working set stayed VMEM-resident and
-reported a physically impossible fraction of 2.8 (VERDICT r1).
+in the planner's strategy for this matrix — the PERIODIC streaming DIA
+kernel (every grid-stencil diagonal is periodic with period 4096; the
+coefficients stay VMEM-resident and the per-SpMV HBM traffic is x + y
+only; verified exactly on device at pack time).  The roofline fraction is
+reported against the kernel's OWN minimum-traffic model (pattern + x + y,
+~134 MB — honest bytes, fraction <= 1); the explicit-data streaming
+kernel (SDIA, ~470 MB/iter, ~30x VMEM) is timed alongside and carries
+the matrix-streaming >= 70%-of-roofline gate — round 1 benched a 1M-row
+matrix whose 24 MB working set stayed VMEM-resident and reported a
+physically impossible fraction of 2.8 (VERDICT r1).
 
 The matrix is constructed ON DEVICE: the host->device tunnel moves
 ~1-2 MB/s, so shipping 335 MB is not an option.  The device constructor is
@@ -421,9 +426,16 @@ def main() -> int:
     assert rel < 2e-5, f"stencil verification failed: {rel:.3e}"
 
     scale = np.float32(1.0 / 8.0)  # ||A||_inf of the 5-point Poisson
-    # the planner's large-DIA choice: the streaming Pallas kernel
-    # (kernels/dia_stream.py) — XLA's lowering runs at ~14% of roofline at
-    # this size, the streaming kernel at ~71% (both measured on chip)
+    # the planner's choice for this matrix is the PERIODIC streaming DIA
+    # kernel (kernels/dia_stream.py:PSDIA): every diagonal of a grid
+    # stencil is periodic with period=GRID, so the coefficients live in
+    # VMEM (one [5, rb] pattern block) and the per-SpMV HBM traffic is
+    # x + y only — 3.5x less than streaming the 335 MB of diagonal data.
+    # The periodicity claim is VERIFIED on device at pack time against
+    # every in-range entry.  The explicit-data streaming kernel (SDIA) is
+    # timed alongside: it is HBM-bound by construction and carries the
+    # >= 70%-of-roofline BASELINE gate; the XLA lowering is the fallback
+    # comparison.
     from tpu_spmv.kernels import dia_stream
 
     S = dia_stream.pack_sdia(A)
@@ -431,21 +443,37 @@ def main() -> int:
                                spmv_fn=dia_stream.spmv_sdia)
     log(f"bench: sdia kernel stencil cross-check rel_err={rel_s:.2e}")
     assert rel_s < 2e-5, f"sdia verification failed: {rel_s:.3e}"
+    PS = dia_stream.pack_psdia(A, period=GRID)   # device-verified
+    rel_p = verify_stencil_big(PS, x, GRID,
+                               spmv_fn=dia_stream.spmv_psdia)
+    log(f"bench: psdia kernel stencil cross-check rel_err={rel_p:.2e} "
+        f"(rb={PS.rb}, pattern={PS.pattern.shape})")
+    assert rel_p < 2e-5, f"psdia verification failed: {rel_p:.3e}"
     xp = dia_stream.pad_x(S, x)
-    dt = time_chained(
+    sdia_dt = time_chained(
         lambda c, Ad: dia_stream.spmv_sdia_padded(Ad, c) * scale, xp,
         iters=400, warm=20, operands=(S,))
+    xpp = dia_stream.pad_x(PS, x)
+    dt = time_chained(
+        lambda c, Ad: dia_stream.spmv_psdia_padded(Ad, c) * scale, xpp,
+        iters=800, warm=20, operands=(PS,))
     xla_dt = time_chained(lambda c, Ad: ts.spmv(Ad, c) * scale, x,
                           iters=100, warm=10, operands=(A,))
 
-    nbytes = spmv_bytes(A, jnp.float32)
+    # headline: the planner kernel (psdia) against ITS OWN minimum-traffic
+    # model (pattern + x + y) — honest bytes, fraction <= 1
+    nbytes = spmv_bytes(PS, jnp.float32)
     gflops = 2 * A.nnz / dt / 1e9
     bw = nbytes / dt / 1e9
     frac = bw / measured_peak_gbps
+    # the matrix-streaming gate: SDIA against the explicit-DIA byte model
+    sdia_bw = spmv_bytes(A, jnp.float32) / sdia_dt / 1e9
+    sdia_frac = sdia_bw / measured_peak_gbps
     log(f"### CSR TPU GFLOPS = {gflops:.5f}")
-    log(f"bench: {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
-        f"{100 * frac:.1f}% of measured roofline | strategy=dia_stream "
-        f"(xla dia: {xla_dt * 1e3:.3f} ms/iter)")
+    log(f"bench: psdia {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
+        f"{100 * frac:.1f}% of measured roofline | strategy=pdia_stream")
+    log(f"bench: sdia {sdia_dt * 1e3:.3f} ms/iter | {sdia_bw:.1f} GB/s | "
+        f"{100 * sdia_frac:.1f}% | xla dia: {xla_dt * 1e3:.3f} ms/iter")
 
     # --- distributed parity on one chip: the same matrix through the
     # sharded streaming-DIA shard_map path (ndev=1) must cost ~the same
@@ -462,9 +490,9 @@ def main() -> int:
 
     dist_dt = time_chained(dist_step, xds, iters=200, warm=10,
                            operands=(Ss,))
-    parity = dist_dt / dt
+    parity = dist_dt / sdia_dt
     log(f"bench: dist(ndev=1, streaming local kernel) "
-        f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain kernel)")
+        f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain sdia kernel)")
 
     # --- SpMM (BASELINE config 3), structured case ---
     spmm_detail = bench_spmm_configs(A, scale)
@@ -490,9 +518,17 @@ def main() -> int:
             "model_gbps": round(bw, 2),
             "measured_peak_gbps": round(measured_peak_gbps, 1),
             "roofline_fraction": round(frac, 4),
-            "strategy": "dia_stream",
+            "strategy": "pdia_stream",
             "nnz": int(A.nnz),
-            "rel_err": rel_s,
+            "rel_err": rel_p,
+            "sdia": {
+                # explicit-data streaming kernel: HBM-bound by
+                # construction, carries the matrix-streaming >= 70% gate
+                "ms_per_spmv": round(sdia_dt * 1e3, 4),
+                "model_gbps": round(sdia_bw, 2),
+                "roofline_fraction": round(sdia_frac, 4),
+                "rel_err": rel_s,
+            },
             "xla_dia_ms_per_spmv": round(xla_dt * 1e3, 4),
             "device": dev.device_kind,
             "dist1_ms_per_spmv": round(dist_dt * 1e3, 4),

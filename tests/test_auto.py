@@ -139,3 +139,46 @@ def test_planner_gpr_chunked_arm(rng, monkeypatch):
     ref = mat.astype(np.float64) @ x.astype(np.float64)
     rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5, rel
+
+
+def test_planner_pdia_stream_arm(monkeypatch):
+    # large periodic-diagonal matrix (grid stencil): the planner must pick
+    # the periodic streaming kernel — coefficients VMEM-resident, verified
+    # at pack time (the CPU hook stands in for the platform gate)
+    from tpu_spmv.kernels.dia_stream import PSDIA
+    from tpu_spmv.ops import auto as _auto
+
+    monkeypatch.setattr(_auto, "_stream_on_cpu", True)
+    monkeypatch.setattr(_auto, "_STREAM_MIN_BYTES", 1024)
+    mat = utils.laplacian_2d(32)
+    plan = plan_spmv(mat, dtype=np.float32)
+    assert plan.strategy == "pdia_stream", plan.strategy
+    assert isinstance(plan.matrix, PSDIA)
+    assert plan.matrix.period == 32
+    x = np.random.default_rng(0).random(mat.shape[1]).astype(np.float32)
+    y = np.asarray(plan(x))
+    ref = mat.astype(np.float64) @ x
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 2e-5
+    # 32-RHS SpMM through the plan dispatch
+    X = np.random.default_rng(1).random((mat.shape[1], 4)).astype(np.float32)
+    Y = np.asarray(plan.spmm(jnp.asarray(X)))
+    refM = mat.astype(np.float64) @ X
+    assert np.max(np.abs(Y - refM)) / np.max(np.abs(refM)) < 2e-5
+
+
+def test_planner_dia_stream_arm_nonperiodic(monkeypatch):
+    # random-valued band: periodic detection must fail and the planner must
+    # fall to the explicit-data streaming kernel
+    from tpu_spmv.kernels.dia_stream import SDIA
+    from tpu_spmv.ops import auto as _auto
+
+    monkeypatch.setattr(_auto, "_stream_on_cpu", True)
+    monkeypatch.setattr(_auto, "_STREAM_MIN_BYTES", 1024)
+    mat = utils.banded(4000, 3, seed=11)
+    plan = plan_spmv(mat, dtype=np.float32)
+    assert plan.strategy == "dia_stream", plan.strategy
+    assert isinstance(plan.matrix, SDIA)
+    x = np.random.default_rng(2).random(4000).astype(np.float32)
+    y = np.asarray(plan(x))
+    ref = mat.astype(np.float64) @ x
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 2e-5

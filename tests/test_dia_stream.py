@@ -66,6 +66,93 @@ def test_sdia_envelope():
     assert dia_stream.supports_sdia((-4096, 0, 4096), (10**6, 10**6))
 
 
+def test_psdia_detect_and_oracle_poisson():
+    g = 32
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    assert dia_stream.detect_period(dia) == g
+    A = dia_stream.pack_psdia(dia, rb=256)
+    assert A.period == g
+    x = np.random.default_rng(1).random(g * g).astype(np.float32)
+    y = dia_stream.spmv_psdia(A, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.astype(np.float64) @ x) < 2e-5
+    # materialized data must equal the explicit DIA data exactly
+    np.testing.assert_array_equal(np.asarray(A.data), np.asarray(dia.data))
+
+
+def test_psdia_constant_diagonals_toeplitz():
+    import scipy.sparse as sp
+
+    n = 777                       # partial tail tile at rb=256
+    m = sp.diags([2.5, -1.0, -1.25], [-3, 0, 2], shape=(n, n),
+                 format="csr")
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    assert dia_stream.detect_period(dia) == 1
+    A = dia_stream.pack_psdia(dia, rb=256)
+    x = np.random.default_rng(2).random(n).astype(np.float32)
+    y = dia_stream.spmv_psdia(A, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.toarray().astype(np.float64) @ x) < 2e-5
+
+
+def test_psdia_rejects_nonperiodic():
+    m = utils.banded(600, 2, seed=3)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    assert dia_stream.detect_period(dia) is None
+    with pytest.raises(ValueError, match="periodic"):
+        dia_stream.pack_psdia(dia, period=100, rb=200)
+
+
+def test_psdia_chained_padded_and_accumulate():
+    g = 32
+    n = g * g
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_psdia(dia, rb=256)
+    rng = np.random.default_rng(4)
+    x = rng.random(n).astype(np.float32)
+    xp = dia_stream.pad_x(A, jnp.asarray(x))
+    yp = dia_stream.spmv_psdia_padded(A, xp, interpret=True)
+    ypn = np.asarray(yp)
+    # the in-kernel row mask must keep every pad slot zero (chain-closed)
+    assert np.all(ypn[:A.L] == 0) and np.all(ypn[A.L + n:] == 0)
+    yp2 = dia_stream.spmv_psdia_padded(A, yp * np.float32(0.125),
+                                       interpret=True)
+    ref = m.astype(np.float64) @ ((m @ x.astype(np.float64)) * 0.125)
+    assert _rel(dia_stream.unpad_y(A, yp2), ref) < 2e-5
+    y0 = rng.random(n).astype(np.float32)
+    out = dia_stream.spmv_psdia(A, jnp.asarray(x), jnp.asarray(y0),
+                                interpret=True)
+    assert _rel(out, y0.astype(np.float64) + m.astype(np.float64) @ x) < 2e-5
+
+
+def test_psdia_spmm():
+    g = 16
+    n = g * g
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_psdia(dia, rb=128)
+    X = np.random.default_rng(5).random((n, 5)).astype(np.float32)
+    Y = dia_stream.spmm_psdia(A, jnp.asarray(X), interpret=True)
+    assert _rel(Y, m.astype(np.float64) @ X) < 2e-5
+
+
+def test_psdia_checkpoint_roundtrip(tmp_path):
+    from tpu_spmv.io import checkpoint
+
+    g = 32
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    A = dia_stream.pack_psdia(dia, rb=256)
+    p = tmp_path / "psdia.npz"
+    checkpoint.save_matrix(p, A)
+    A2 = checkpoint.load_matrix(p)
+    assert (A2.period, A2.rb, A2.L, A2.offsets) == (A.period, A.rb, A.L,
+                                                    A.offsets)
+    x = np.random.default_rng(6).random(g * g).astype(np.float32)
+    y = dia_stream.spmv_psdia(A2, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.astype(np.float64) @ x) < 2e-5
+
+
 def test_two_level_routing():
     rng = np.random.default_rng(4)
     n = 1_500_000

@@ -73,6 +73,14 @@ def spmv_bytes(A, x_dtype=None) -> int:
         return A.data.size * val + A.nblocks * idx + vec
     if isinstance(A, BDIA):
         return A.data.size * val + vec
+    from ..kernels.dia_stream import PSDIA, SDIA
+
+    if isinstance(A, SDIA):
+        return A.data.size * val + vec
+    if isinstance(A, PSDIA):
+        # the pattern block is fetched once and stays VMEM-resident: the
+        # per-SpMV stream is x + y plus one pattern read
+        return A.pattern.size * val + vec
     from ..kernels.ell_pallas import PackedELL
 
     if isinstance(A, PackedELL):

@@ -45,25 +45,35 @@ class DIA:
     # -- construction ------------------------------------------------------
 
     @staticmethod
-    def from_coo(coo: COO) -> "DIA":
-        """COO → DIA.  The reference converts from CSR with a two-pass
-        diagonal-occupancy scan (`/root/reference/src/matrix.cpp:673-726`);
-        the vectorized equivalent is a unique() over (col - row)."""
+    def host_arrays(coo: COO) -> tuple[np.ndarray, tuple[int, ...]]:
+        """``([ndiags, nrow] numpy data, offsets)`` built entirely on host
+        — for planning/packing paths that must not touch the device (e.g.
+        periodicity detection, `kernels/dia_stream.py:detect_period`)."""
         row = np.asarray(coo.row)
         col = np.asarray(coo.col)
         vals = np.asarray(coo.data)
-        nrow, ncol = coo.shape
+        nrow, _ = coo.shape
         diag_of_entry = col.astype(np.int64) - row.astype(np.int64)
         offsets, diag_idx = np.unique(diag_of_entry, return_inverse=True)
         ndiags = max(len(offsets), 1)
         data = np.zeros((ndiags, nrow), dtype=vals.dtype)
         if row.size:
             np.add.at(data, (diag_idx, row), vals)
+        offs = tuple(int(o) for o in offsets) if len(offsets) else (0,)
+        return data, offs
+
+    @staticmethod
+    def from_coo(coo: COO) -> "DIA":
+        """COO → DIA.  The reference converts from CSR with a two-pass
+        diagonal-occupancy scan (`/root/reference/src/matrix.cpp:673-726`);
+        the vectorized equivalent is a unique() over (col - row)."""
+        data, offs = DIA.host_arrays(coo)
+        nrow, ncol = coo.shape
         return DIA(
             data=jnp.asarray(data, dtype=coo.data.dtype),
-            offsets=tuple(int(o) for o in offsets) if len(offsets) else (0,),
+            offsets=offs,
             shape=(int(nrow), int(ncol)),
-            nnz=int(row.size),
+            nnz=int(np.asarray(coo.row).size),
         )
 
     # -- properties --------------------------------------------------------

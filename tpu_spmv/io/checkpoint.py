@@ -32,14 +32,14 @@ def _classes():
     """Name → class for every serializable pytree dataclass (lazy: the
     kernels import pallas)."""
     from .. import formats as _formats
-    from ..kernels.dia_stream import SDIA
+    from ..kernels.dia_stream import PSDIA, SDIA
     from ..kernels.ell_pallas import PackedELL
     from ..kernels.gpr import GPCSR, GPCSRChunked
     from ..kernels.permute import PermutationPlan, TwoLevelPlan
 
     out = {cls.__name__: cls for cls in set(_formats.FORMATS.values())}
     for cls in (PackedELL, GPCSR, GPCSRChunked, PermutationPlan,
-                TwoLevelPlan, SDIA):
+                TwoLevelPlan, SDIA, PSDIA):
         out[cls.__name__] = cls
     return out
 

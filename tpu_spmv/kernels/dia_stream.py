@@ -40,7 +40,9 @@ from ..formats.base import sparse_dataclass, static_field
 from ..formats.dia import DIA
 
 __all__ = ["SDIA", "pack_sdia", "spmv_sdia_padded", "spmv_sdia",
-           "spmm_sdia_padded_t", "spmm_sdia", "supports_sdia"]
+           "spmm_sdia_padded_t", "spmm_sdia", "supports_sdia",
+           "PSDIA", "detect_period", "pack_psdia", "spmv_psdia_padded",
+           "spmv_psdia", "spmm_psdia_padded_t", "spmm_psdia"]
 
 #: floor rows per grid tile (multiple of 1024); :func:`pack_sdia` auto-
 #: selects up to RB_MAX subject to the data-block VMEM budget — fatter
@@ -297,3 +299,351 @@ def spmv_sdia(A: SDIA, x: jax.Array, y: jax.Array | None = None, *,
     """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally)."""
     out = unpad_y(A, spmv_sdia_padded(A, pad_x(A, x), interpret=interpret))
     return out if y is None else y + out
+
+
+# ---------------------------------------------------------------------------
+# Periodic-coefficient streaming DIA — grid-stencil matrices
+# ---------------------------------------------------------------------------
+#
+# Every diagonal of a separable grid-stencil matrix (2-D/3-D Poisson,
+# block-Laplacian rows, any kron(I, T)+kron(T, I) operator) is PERIODIC
+# along the row index with period = the grid minor dimension: e.g. the
+# 4096-grid Poisson's off-1 diagonal is ``-1`` except a ``0`` every
+# 4096-th row, and the main diagonal is constant.  Streaming those
+# coefficients from HBM (335 MB of the 470 MB per-iter working set of the
+# 16.7M-row operand) is pure waste: ONE period per diagonal (16 KB) held
+# VMEM-resident replaces the whole data stream, cutting the per-SpMV HBM
+# traffic to x + y (~134 MB, 3.5x less).  This is the TPU-first trade —
+# recompute/reuse from on-chip memory instead of streaming — and it is
+# exactly what distinguishes a stencil operator from a general sparse
+# matrix.  Periodicity is *verified*, not assumed: ``pack_psdia`` compares
+# the tiled pattern against every in-range diagonal entry on device and
+# refuses to build the operator on any mismatch, so the kernel is exact
+# for any matrix it accepts (general DIA matrices stay on ``SDIA``).
+#
+# Reference parity: the DIA kernel `/root/reference/src/mat_vec.cpp:123-146`
+# (same y = A @ x semantics; the reference has no stencil specialization).
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+@sparse_dataclass
+class PSDIA:
+    """Periodic DIA matrix for the streaming kernel.
+
+    ``pattern[d, i]`` holds diagonal ``offsets[d]`` at global row
+    ``i mod period`` — pre-tiled to a full ``[ndiags, rb]`` row tile so the
+    kernel block is layout-identical to :class:`SDIA`'s data block, but
+    with a CONSTANT index map (Pallas fetches it once and keeps it
+    VMEM-resident across the whole grid).  Pad/edge handling moves from
+    structurally-zero data to an in-kernel row-validity mask.
+    """
+
+    pattern: jax.Array                    # [ndiags, rb]
+    offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+    L: int = static_field()               # front pad rows (multiple of rb)
+    period: int = static_field()
+    rb: int = static_field(default=RB)
+
+    @property
+    def npad(self) -> int:
+        hi = max(0, max(self.offsets))
+        U = _roundup(hi, self.rb) if hi else 0
+        return self.L + _roundup(self.shape[0], self.rb) + U
+
+    @property
+    def ndiags(self) -> int:
+        return int(self.pattern.shape[0])
+
+    @property
+    def dtype(self):
+        return self.pattern.dtype
+
+    @property
+    def data(self):  # bench/debug convenience: materialized [ndiags, nrow]
+        nrow = self.shape[0]
+        reps = -(-nrow // self.period)
+        full = jnp.tile(self.pattern[:, :self.period], (1, reps))[:, :nrow]
+        i = jnp.arange(nrow)
+        offs = jnp.asarray(self.offsets)[:, None]
+        valid = (i[None, :] + offs >= 0) & (i[None, :] + offs < nrow)
+        return jnp.where(valid, full, 0)
+
+
+def detect_period(dia: DIA, max_period: int = 1 << 20) -> int | None:
+    """Smallest period P (from the offset-derived candidate set) such that
+    every diagonal is P-periodic over its in-range rows — host-side
+    analysis (returns ``None`` for device-resident data; device packs pass
+    ``period`` explicitly and rely on :func:`pack_psdia`'s verification).
+
+    Candidates: 1 (Toeplitz/constant diagonals) and each distinct
+    ``|offset| > 1`` ascending — the minor grid dimension of any
+    separable stencil appears among its offsets.
+    """
+    data = dia.data
+    if isinstance(data, jax.Array):
+        if next(iter(data.devices())).platform != "cpu":
+            return None       # no device readback during planning
+        data = np.asarray(data)
+    else:
+        data = np.asarray(data)
+    nrow = dia.shape[0]
+    cands = [1] + sorted({abs(int(o)) for o in dia.offsets} - {0, 1})
+    for P in cands:
+        if P > max_period or 2 * P > nrow:
+            continue
+        ok = True
+        for d, off in enumerate(dia.offsets):
+            off = int(off)
+            seg = data[d, max(0, -off):nrow - max(0, off)]
+            if seg.size > P and not np.array_equal(seg[P:], seg[:-P]):
+                ok = False
+                break
+        if ok:
+            return P
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "nrow"))
+def _verify_periodic(data, pat, offsets, nrow):
+    """True iff ``data`` equals the tiled ``pat`` at every in-range slot
+    (out-of-range slots multiply structural x-pad zeros — don't-care)."""
+    P = pat.shape[1]
+    reps = -(-nrow // P)
+    full = jnp.tile(pat, (1, reps))[:, :nrow]
+    i = jnp.arange(nrow)
+    offs = jnp.asarray(offsets)[:, None]
+    valid = (i[None, :] + offs >= 0) & (i[None, :] + offs < nrow)
+    return jnp.all(jnp.where(valid, data == full, True))
+
+
+#: VMEM budget for the resident [ndiags, rb] pattern block (single copy —
+#: constant index map, not double-buffered like SDIA's streamed data)
+_PATTERN_BUDGET = 8 << 20
+
+
+def pack_psdia(dia: DIA, period: int | None = None, *, rb: int | None = None,
+               nrhs: int = 1, verify: bool = True) -> PSDIA:
+    """Build the periodic streaming operator from a DIA matrix.
+
+    ``period=None`` auto-detects on host data (:func:`detect_period`);
+    device-built DIA operands pass the known period explicitly.  With
+    ``verify=True`` (default) the claim is checked ON DEVICE against every
+    in-range entry and a mismatch raises — the kernel is only ever exact.
+    """
+    nrow, ncol = dia.shape
+    if nrow != ncol:
+        raise ValueError("psdia needs a square matrix")
+    if period is None:
+        period = detect_period(dia)
+        if period is None:
+            raise ValueError("no periodic diagonal structure detected")
+    P = int(period)
+    nd = dia.ndiags
+    offsets = tuple(int(o) for o in dia.offsets)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    if rb is None:
+        # lane-tile-aligned AND period-aligned (constant pattern phase).
+        # Unlike SDIA there is no streamed data block, so go as fat as the
+        # resident pattern (and any multi-RHS panels) allow — measured on
+        # the 16.7M-row Poisson: rb 65536 -> 131072 takes 0.286 -> 0.254
+        # ms/iter (fewer grid steps + smaller halo fraction).
+        unit = _lcm(P, 1024)
+        if unit > RB_MAX:
+            raise ValueError("period too large for any feasible row tile")
+        cap = min(RB_MAX, max(_PATTERN_BUDGET // (4 * nd), 1))
+        if nrhs > 1:
+            cap = min(cap, max((8 << 20) // (4 * nrhs), 1))
+        rb = max(unit, cap - cap % unit)
+        # don't pad small matrices out to giant tiles
+        small = _roundup(max(nrow, lo, hi, 1), unit)
+        rb = min(rb, max(small, unit))
+        if max(lo, hi, 1) > rb:         # wide band: raise rb to cover it
+            rb = _roundup(max(lo, hi), unit)
+    if rb % P or rb > RB_MAX or max(lo, hi, 1) > rb:
+        raise ValueError(
+            f"psdia needs rb a multiple of period={P} covering the band, "
+            f"<= {RB_MAX}; got rb={rb}")
+    # extract the pattern from the first period window that is in-range
+    # for EVERY diagonal (phase k0*P ≡ 0 mod P keeps alignment)
+    k0 = -(-lo // P)
+    if (k0 + 1) * P > nrow - hi:
+        raise ValueError("matrix too small to extract an in-range period")
+    if isinstance(dia.data, jax.Array):
+        # device-resident operand: slice + verify on device (one stream)
+        pat = jax.lax.slice(dia.data, (0, k0 * P), (nd, (k0 + 1) * P))
+        if verify and not bool(_verify_periodic(dia.data, pat, offsets,
+                                                nrow)):
+            raise ValueError(f"diagonals are not periodic with period {P}")
+        pattern = jnp.tile(pat, (1, rb // P))
+    else:
+        # host numpy operand (the planner path): verify on host, ship ONLY
+        # the tiled pattern (nd*rb values) through the host->device tunnel
+        # — the full [nd, nrow] data never leaves the host
+        hdata = np.asarray(dia.data)
+        pat = hdata[:, k0 * P:(k0 + 1) * P]
+        if verify:
+            i = np.arange(nrow)
+            reps = -(-nrow // P)
+            full = np.tile(pat, (1, reps))[:, :nrow]
+            offs = np.asarray(offsets)[:, None]
+            valid = (i[None, :] + offs >= 0) & (i[None, :] + offs < nrow)
+            if not np.all(np.where(valid, hdata == full, True)):
+                raise ValueError(
+                    f"diagonals are not periodic with period {P}")
+        pattern = jnp.asarray(np.tile(pat, (1, rb // P)))
+    L = _roundup(lo, rb) if lo else 0
+    return PSDIA(pattern=pattern, offsets=offsets, shape=dia.shape,
+                 nnz=dia.nnz, L=L, period=P, rb=rb)
+
+
+def _rows_iota(rb: int):
+    # Mosaic has no 1-D iota; build [1, rb] and collapse
+    return jnp.reshape(jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1), (rb,))
+
+
+def _pkernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
+             L, nrow):
+    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]])
+    acc = pat_ref[0] * jax.lax.slice_in_dim(win, h + offsets[0],
+                                            h + offsets[0] + rb)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc = acc + pat_ref[d] * jax.lax.slice_in_dim(win, h + off,
+                                                      h + off + rb)
+    # row-validity masking is predicated OFF the interior tiles (all but
+    # the pad/tail tiles) — the iota/compare/select chain would otherwise
+    # cost ~4 VPU ops/row on a kernel that is VPU-bound once the data
+    # stream is gone
+    j = pl.program_id(0)
+    interior = jnp.logical_and(j * rb >= L, (j + 1) * rb <= L + nrow)
+
+    @pl.when(interior)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        rows = j * rb + _rows_iota(rb)
+        valid = (rows >= L) & (rows < L + nrow)
+        o_ref[:] = jnp.where(valid, acc, jnp.zeros_like(acc))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_psdia_padded(A: PSDIA, xpad: jax.Array, *,
+                      interpret: bool = False) -> jax.Array:
+    """``ypad = A @ xpad`` in padded row space — same contract as
+    :func:`spmv_sdia_padded` (shape-preserving, chainable, pads stay zero
+    via the in-kernel row mask instead of zero data)."""
+    rb = A.rb
+    npad = A.npad
+    T = npad // rb
+    nd = A.ndiags
+    h = _halo_size(A.offsets, rb)
+    hb = rb // h
+    TH = npad // h
+
+    return pl.pallas_call(
+        functools.partial(_pkernel, offsets=A.offsets, rb=rb, h=h,
+                          L=A.L, nrow=A.shape[0]),
+        out_shape=jax.ShapeDtypeStruct((npad,), A.pattern.dtype),
+        grid=(T,),
+        in_specs=[
+            # constant index map: fetched once, VMEM-resident all grid long
+            pl.BlockSpec((nd, rb), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda j: (jnp.clip(j * hb - 1, 0, TH - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb,), lambda j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,),
+                         lambda j: (jnp.clip((j + 1) * hb, 0, TH - 1),),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb,), lambda j: (j,),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A.pattern, xpad, xpad, xpad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_psdia(A: PSDIA, x: jax.Array, y: jax.Array | None = None, *,
+               interpret: bool = False) -> jax.Array:
+    """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally)."""
+    out = unpad_y(A, spmv_psdia_padded(A, pad_x(A, x), interpret=interpret))
+    return out if y is None else y + out
+
+
+def _pspmm_kernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
+                  L, nrow):
+    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
+    acc = pat_ref[0][None, :] * jax.lax.slice_in_dim(
+        win, h + offsets[0], h + offsets[0] + rb, axis=1)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc = acc + pat_ref[d][None, :] * jax.lax.slice_in_dim(
+            win, h + off, h + off + rb, axis=1)
+    j = pl.program_id(0)
+    interior = jnp.logical_and(j * rb >= L, (j + 1) * rb <= L + nrow)
+
+    @pl.when(interior)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        rows = j * rb + jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
+        valid = (rows >= L) & (rows < L + nrow)
+        o_ref[:] = jnp.where(valid, acc, jnp.zeros_like(acc))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array, *,
+                        interpret: bool = False) -> jax.Array:
+    """``Yt_pad = (A @ Xt_pad.T).T`` for transposed ``[nrhs, npad]``
+    operands — same contract as :func:`spmm_sdia_padded_t`."""
+    rb = A.rb
+    npad = A.npad
+    T = npad // rb
+    nd = A.ndiags
+    nrhs = int(Xt_pad.shape[0])
+    h = _halo_size(A.offsets, rb)
+    hb = rb // h
+    TH = npad // h
+
+    return pl.pallas_call(
+        functools.partial(_pspmm_kernel, offsets=A.offsets, rb=rb, h=h,
+                          L=A.L, nrow=A.shape[0]),
+        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.pattern.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((nd, rb), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrhs, h),
+                         lambda j: (0, jnp.clip(j * hb - 1, 0, TH - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrhs, rb), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrhs, h),
+                         lambda j: (0, jnp.clip((j + 1) * hb, 0, TH - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nrhs, rb), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(A.pattern, Xt_pad, Xt_pad, Xt_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_psdia(A: PSDIA, X: jax.Array, *,
+               interpret: bool = False) -> jax.Array:
+    """``A @ X`` with plain ``[n, nrhs]`` operands (transposes in/out)."""
+    Xt = jnp.pad(X.T, ((0, 0), (A.L, A.npad - A.L - X.shape[0])))
+    Yt = spmm_psdia_padded_t(A, Xt, interpret=interpret)
+    return jax.lax.slice_in_dim(Yt, A.L, A.L + A.shape[0], axis=1).T

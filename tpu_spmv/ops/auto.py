@@ -37,6 +37,12 @@ __all__ = ["SpmvPlan", "analyze", "plan_spmv", "plan_from_matrix",
            "pallas_ell_cost_s", "gpr_cost_s"]
 
 
+#: streaming-DIA switchover: data working set beyond clear VMEM residency
+_STREAM_MIN_BYTES = 32 * 1024 * 1024
+#: test hook: exercise the streaming planner arms on the CPU backend
+_stream_on_cpu = False
+
+
 def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
     """Measured per-SpMV cost model of the Pallas packed-ELL kernel:
     ~12ns per tile-round plus ~30us fixed (round-2 re-calibration,
@@ -145,6 +151,10 @@ class SpmvPlan:
             from ..kernels import dia_stream
 
             return dia_stream.spmm_sdia(self.matrix, X, interpret=interp)
+        if self.strategy == "pdia_stream":
+            from ..kernels import dia_stream
+
+            return dia_stream.spmm_psdia(self.matrix, X, interpret=interp)
         if self.strategy == "gpr":
             from ..kernels import gpr as _gpr
 
@@ -183,6 +193,14 @@ def _kernel_for_strategy(strategy: str) -> Callable:
             return dia_stream.spmv_sdia(A, x, y, interpret=interp)
 
         return sdia_kernel
+    if strategy == "pdia_stream":
+        from ..kernels import dia_stream
+
+        def psdia_kernel(A, x, y=None):
+            interp = jax.devices()[0].platform == "cpu"
+            return dia_stream.spmv_psdia(A, x, y, interpret=interp)
+
+        return psdia_kernel
     if strategy == "gpr":
         from ..kernels import gpr as _gpr
 
@@ -230,21 +248,44 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
     # a bare ndiags<=64 arm would admit 64-diag matrices at 5 nnz/row
     # (12.8x the bytes) — strictly slower on an HBM-bound kernel
     if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
-        dia = convert(_host_coo(mat, dtype), "dia")
+        from ..formats.dia import DIA as _DIA
+
+        hc = _host_coo(mat, dtype)
+        hdata, hoffs = _DIA.host_arrays(hc)
+        # host-leaf DIA: valid input to detection and to the stream packs
+        # (only the pattern / padded data crosses the host->device tunnel)
+        hdia = _DIA(data=hdata, offsets=hoffs, shape=hc.shape,
+                    nnz=stats.nnz)
         # beyond VMEM residency, XLA's lowering of the shifted FMAs drops
-        # to ~14% of the HBM roofline; the streaming Pallas kernel holds
-        # ~71% (measured, kernels/dia_stream.py) — switch over when the
+        # to ~14% of the HBM roofline; the streaming Pallas kernels hold
+        # 79%+ (measured, kernels/dia_stream.py) — switch over when the
         # working set clearly exceeds VMEM
         import jax as _jax
 
-        if (_jax.devices()[0].platform != "cpu"
+        if ((_jax.devices()[0].platform != "cpu" or _stream_on_cpu)
                 and dia_storage * np.dtype(dtype or np.float32).itemsize
-                > 32 * 1024 * 1024):
+                > _STREAM_MIN_BYTES):
             from ..kernels import dia_stream
 
-            if dia_stream.supports_sdia(dia.offsets, dia.shape):
-                return SpmvPlan(dia_stream.pack_sdia(dia), "dia_stream",
+            # periodic diagonals (grid stencils / Toeplitz): coefficients
+            # stay VMEM-resident — the whole data stream disappears from
+            # the per-SpMV HBM traffic (verified exactly at pack time)
+            period = dia_stream.detect_period(hdia)
+            if period is not None:
+                try:
+                    return SpmvPlan(
+                        dia_stream.pack_psdia(hdia, period=period),
+                        "pdia_stream", stats,
+                        _kernel_for_strategy("pdia_stream"))
+                except ValueError:
+                    pass
+            if dia_stream.supports_sdia(hoffs, hc.shape):
+                return SpmvPlan(dia_stream.pack_sdia(hdia), "dia_stream",
                                 stats, _kernel_for_strategy("dia_stream"))
+        import jax.numpy as jnp
+
+        dia = _DIA(data=jnp.asarray(hdata), offsets=hoffs, shape=hc.shape,
+                   nnz=stats.nnz)
         return SpmvPlan(dia, "dia", stats, kernel)
     if bdia_storage <= 4 * stats.nnz:
         # block-banded (structured PDE): gather-free block-diagonal einsum
