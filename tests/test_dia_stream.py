@@ -136,6 +136,37 @@ def test_psdia_spmm():
     assert _rel(Y, m.astype(np.float64) @ X) < 2e-5
 
 
+def test_psdia_3d_stencil():
+    # 7-point 3-D Laplacian: period must resolve to g^2 (the middle-dim
+    # diagonal has period g^2, so the g candidate must be rejected)
+    import scipy.sparse as sp
+
+    g = 8
+    T = sp.diags([-np.ones(g - 1), 2 * np.ones(g), -np.ones(g - 1)],
+                 [-1, 0, 1])
+    m = sp.kronsum(sp.kronsum(T, T), T, format="csr")
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    assert sorted(abs(o) for o in dia.offsets) == [0, 1, 1, g, g, g * g,
+                                                   g * g]
+    assert dia_stream.detect_period(dia) == g * g
+    A = dia_stream.pack_psdia(dia, rb=128)
+    x = np.random.default_rng(7).random(g ** 3).astype(np.float32)
+    y = dia_stream.spmv_psdia(A, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.astype(np.float64) @ x) < 2e-5
+
+
+def test_psdia_rectangular_grid():
+    # non-square grid: period = the minor grid dimension
+    nx, ny = 16, 8
+    m = utils.laplacian_2d(nx, ny)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    assert dia_stream.detect_period(dia) == nx
+    A = dia_stream.pack_psdia(dia, rb=64)
+    x = np.random.default_rng(8).random(nx * ny).astype(np.float32)
+    y = dia_stream.spmv_psdia(A, jnp.asarray(x), interpret=True)
+    assert _rel(y, m.astype(np.float64) @ x) < 2e-5
+
+
 def test_psdia_checkpoint_roundtrip(tmp_path):
     from tpu_spmv.io import checkpoint
 

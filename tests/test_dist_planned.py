@@ -167,3 +167,37 @@ def test_sdia_sharded_chainable(mesh, rng):
     y2 = plan.spmv(mesh, y1)           # feed y straight back in
     ref = mat.astype(np.float64) @ (mat.astype(np.float64) @ x)
     _assert_close(plan.y_to_global(y2), ref)
+
+
+def test_psdia_sharded_oracle(mesh, rng):
+    # the PERIODIC streaming local kernel inside shard_map: pattern
+    # replicated, row mask with the shard-global origin (SMEM scalar)
+    mat = utils.laplacian_2d(64, 64)          # period 64, n=4096
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="pdia_stream", sdia_rb=256)
+    assert plan.strategy == "pdia_stream"
+    assert isinstance(plan.matrix, dist.ShardedPSDIA)
+    assert plan.matrix.period == 64
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    _assert_close(_global_spmv(plan, mesh, mat, x), _ref(mat, x))
+
+
+def test_psdia_sharded_chainable(mesh, rng):
+    mat = utils.laplacian_2d(32, 32)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="pdia_stream", sdia_rb=256)
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    xs = plan.shard_x(x, dtype=np.float32)
+    y1 = plan.spmv(mesh, xs)
+    y2 = plan.spmv(mesh, y1)
+    ref = mat.astype(np.float64) @ (mat.astype(np.float64) @ x)
+    _assert_close(plan.y_to_global(y2), ref)
+
+
+def test_psdia_sharded_rejects_nonperiodic():
+    import pytest as _pytest
+
+    mat = utils.banded(3000, 4, seed=33)      # random band: not periodic
+    with _pytest.raises(ValueError, match="periodic"):
+        dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                            strategy="pdia_stream", sdia_rb=256)

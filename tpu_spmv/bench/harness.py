@@ -59,7 +59,8 @@ class TimingResult:
 
 
 def time_chained(step_fn: Callable, v0, *, iters: int = 20,
-                 warm: int = 2, operands: tuple = ()) -> float:
+                 warm: int = 2, operands: tuple = (),
+                 max_iters: int = 25600) -> float:
     """Seconds per iteration of ``v' = step_fn(v)`` chained inside ONE jit.
 
     The only timing protocol that is honest on every backend: the K
@@ -105,9 +106,17 @@ def time_chained(step_fn: Callable, v0, *, iters: int = 20,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = best_of(warm)
-    t_big = best_of(warm + iters)
-    return max((t_big - t_small) / iters, 1e-9)
+    while True:
+        t_small = best_of(warm)
+        t_big = best_of(warm + iters)
+        signal = t_big - t_small
+        # the differenced signal must clearly beat the dispatch-noise floor
+        # (small/fast kernels once measured "0 us -> absurd GFLOPS" here);
+        # lengthen the chain until it does
+        if signal > max(0.25 * t_small, 2e-3) or iters >= max_iters:
+            return max(signal / iters, 1e-9)
+        iters *= 4
+        run_fenced(warm + iters)  # compile the longer loop
 
 
 def time_fn(fn: Callable, *args, iters: int = DEFAULT_ITERS,

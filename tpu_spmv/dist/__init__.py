@@ -20,9 +20,11 @@ from .partition import RowPlan, plan_rows, plan_even, plan_uniform
 from .sharded import ShardedVector, ShardedCSR, HaloCSR, ColShardedCSR
 from .spmv import (spmv_allgather, spmv_halo, spmv_colsplit,
                    spmm_allgather, spmm_halo, place, sharded_spec)
-from .planned import (ShardedDIA, ShardedBDIA, ShardedSDIA, ShardedGPR,
+from .planned import (ShardedDIA, ShardedBDIA, ShardedSDIA, ShardedPSDIA,
+                      ShardedGPR,
                       spmv_dia_sharded, spmv_bdia_sharded,
-                      spmv_sdia_sharded, spmv_gpr_sharded,
+                      spmv_sdia_sharded, spmv_psdia_sharded,
+                      spmv_gpr_sharded,
                       DistPlan, plan_dist_spmv)
 from .mesh import make_mesh, init_multihost, device_count
 from . import blas
@@ -32,9 +34,10 @@ __all__ = [
     "ShardedVector", "ShardedCSR", "HaloCSR", "ColShardedCSR",
     "spmv_allgather", "spmv_halo", "spmv_colsplit",
     "spmm_allgather", "spmm_halo",
-    "ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedGPR",
+    "ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedPSDIA",
+    "ShardedGPR",
     "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
-    "spmv_gpr_sharded",
+    "spmv_psdia_sharded", "spmv_gpr_sharded",
     "DistPlan", "plan_dist_spmv",
     "place", "sharded_spec",
     "make_mesh", "init_multihost", "device_count",

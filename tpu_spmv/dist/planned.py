@@ -52,8 +52,9 @@ from ..formats.bdia import BDIA
 from .partition import RowPlan, plan_uniform
 from .sharded import HaloCSR, ShardedVector
 
-__all__ = ["ShardedDIA", "ShardedBDIA", "ShardedSDIA",
+__all__ = ["ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedPSDIA",
            "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
+           "spmv_psdia_sharded",
            "DistPlan", "plan_dist_spmv", "bench_dist_spmv"]
 
 
@@ -428,6 +429,176 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
 
 
 @sparse_dataclass
+class ShardedPSDIA:
+    """Row-sharded PERIODIC streaming DIA: the grid-stencil local kernel.
+
+    Same padded-tile row-space sharding as :class:`ShardedSDIA`, but the
+    per-shard operand is the replicated ``[ndiags, rb]`` coefficient
+    pattern (`kernels/dia_stream.py:PSDIA`) — per-shard HBM traffic is
+    x + y only.  Boundary handling moves from structurally-zero data to
+    the in-kernel row mask; the shard's global row base rides in as an
+    SMEM scalar (``axis_index * rows_per_shard``), so the mask logic is
+    identical to the single-chip kernel's with a shifted origin.  Ring
+    wrap-around slivers are harmless exactly as in ShardedSDIA: any tile
+    that could read a wrapped sliver is a pad tile, and pad tiles are
+    masked to zero.
+    """
+
+    pattern: jax.Array                    # [ndev, ndiags, rb] (replicated)
+    offsets: tuple[int, ...] = static_field()
+    shape: tuple[int, int] = static_field()
+    nnz: int = static_field()
+    L: int = static_field()               # global front pad rows
+    period: int = static_field()
+    rb: int = static_field()
+    rows_per_shard: int = static_field()  # Cp (whole-rb-tile multiple)
+
+    @property
+    def ndev(self) -> int:
+        return int(self.pattern.shape[0])
+
+    @property
+    def npad(self) -> int:
+        return self.ndev * self.rows_per_shard
+
+    @property
+    def dtype(self):
+        return self.pattern.dtype
+
+    @property
+    def pad_plan(self) -> RowPlan:
+        C = self.rows_per_shard
+        return RowPlan(tuple(i * C for i in range(self.ndev + 1)),
+                       self.ndev, self.npad)
+
+    @staticmethod
+    def build(psdia, ndev: int) -> "ShardedPSDIA":
+        rb = psdia.rb
+        band = max(max(abs(o) for o in psdia.offsets), 0)
+        if band > rb:
+            raise ValueError(f"band {band} exceeds tile {rb}")
+        T = psdia.npad // rb
+        Tper = -(-T // ndev)
+        Cp = Tper * rb                    # multiple of rb (hence of P):
+        #                                   the pattern phase is shard-
+        #                                   invariant and one copy serves
+        return ShardedPSDIA(
+            pattern=jnp.tile(psdia.pattern[None], (ndev, 1, 1)),
+            offsets=psdia.offsets, shape=psdia.shape, nnz=psdia.nnz,
+            L=psdia.L, period=psdia.period, rb=rb, rows_per_shard=Cp,
+        )
+
+    def shard_xpad(self, xpad: jax.Array) -> ShardedVector:
+        if xpad.shape[0] < self.npad:
+            xpad = jnp.pad(xpad, (0, self.npad - xpad.shape[0]))
+        return ShardedVector(
+            chunks=xpad.reshape(self.ndev, self.rows_per_shard),
+            starts=self.pad_plan.starts, length=self.npad)
+
+    def unshard_y(self, y: ShardedVector) -> np.ndarray:
+        flat = np.asarray(y.chunks).reshape(-1)
+        return flat[self.L: self.L + self.shape[0]]
+
+
+def _psdia_ring_kernel(base_ref, left_ref, right_ref, pat_ref, xm_ref,
+                       x0_ref, xp_ref, o_ref, *, offsets, rb, h, tlast,
+                       L, nrow):
+    """Periodic-DIA tile body: ring-edge halo selection + row mask with a
+    shard-global origin (``base_ref`` = this shard's first padded row)."""
+    from ..kernels.dia_stream import _rows_iota
+
+    j = pl.program_id(0)
+    xm = jnp.where(j == 0, left_ref[:], xm_ref[:])
+    xp = jnp.where(j == tlast, right_ref[:], xp_ref[:])
+    win = jnp.concatenate([xm, x0_ref[:], xp])
+    acc = pat_ref[0] * jax.lax.slice_in_dim(win, h + offsets[0],
+                                            h + offsets[0] + rb)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc = acc + pat_ref[d] * jax.lax.slice_in_dim(win, h + off,
+                                                      h + off + rb)
+    start = base_ref[0] + j * rb
+    interior = jnp.logical_and(start >= L, start + rb <= L + nrow)
+
+    @pl.when(interior)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        rows = start + _rows_iota(rb)
+        valid = (rows >= L) & (rows < L + nrow)
+        o_ref[:] = jnp.where(valid, acc, jnp.zeros_like(acc))
+
+
+def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
+                       *, axis: str = "x", interpret: bool = False
+                       ) -> ShardedVector:
+    """Row-sharded periodic streaming-DIA SpMV in padded row space —
+    the :func:`spmv_sdia_sharded` ring structure with the VMEM-resident
+    pattern instead of streamed data."""
+    from ..kernels.dia_stream import _halo_size
+
+    ndev = A.ndev
+    rb = A.rb
+    Cp = A.rows_per_shard
+    Tloc = Cp // rb
+    nd = int(A.pattern.shape[1])
+    offsets = A.offsets
+    h = _halo_size(offsets, rb)
+    hb = rb // h
+    THloc = Cp // h
+
+    def run_body(A_loc: ShardedPSDIA, x_loc: ShardedVector):
+        xc = x_loc.chunks[0]                         # [Cp]
+        tail = jax.lax.slice_in_dim(xc, Cp - h, Cp)
+        head = jax.lax.slice_in_dim(xc, 0, h)
+        if ndev == 1:
+            left, right = tail, head
+        else:
+            to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
+            to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
+            left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
+            right = lax.ppermute(head, axis, to_left)   # right nbr's head
+        base = (lax.axis_index(axis) * Cp).astype(jnp.int32).reshape(1)
+        y = pl.pallas_call(
+            functools.partial(_psdia_ring_kernel, offsets=offsets, rb=rb,
+                              h=h, tlast=Tloc - 1, L=A.L, nrow=A.shape[0]),
+            out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.pattern.dtype),
+            grid=(Tloc,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # shard row base
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
+                pl.BlockSpec((nd, rb), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),   # resident pattern
+                pl.BlockSpec((h,),
+                             lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb,), lambda j: (j,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h,),
+                             lambda j: (jnp.clip((j + 1) * hb, 0,
+                                                 THloc - 1),),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rb,), lambda j: (j,),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(base, left, right, A_loc.pattern[0], xc, xc, xc)
+        return y[None]
+
+    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=P(axis))
+    try:
+        run = _shard_map(run_body, check_vma=False, **smap_kwargs)
+    except TypeError:  # pragma: no cover
+        run = _shard_map(run_body, check_rep=False, **smap_kwargs)
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.pad_plan.starts,
+                         length=A.npad)
+
+
+@sparse_dataclass
 class ShardedGPR:
     """Row-sharded GPR: the planner's fast local kernel for GENERAL
     patterns (the reference's per-partition CSR loop, done TPU-style).
@@ -576,7 +747,7 @@ class DistPlan:
     row_plan: RowPlan
 
     def shard_x(self, x, dtype=None) -> ShardedVector:
-        if self.strategy == "dia_stream":
+        if self.strategy in ("dia_stream", "pdia_stream"):
             # padded-tile row space: x[k - L] at padded position k
             S = self.matrix
             xp = np.zeros(S.npad, dtype=dtype or np.asarray(x).dtype)
@@ -587,7 +758,7 @@ class DistPlan:
 
     def y_to_global(self, y: ShardedVector) -> np.ndarray:
         g = y.to_global()
-        if self.strategy == "dia_stream":
+        if self.strategy in ("dia_stream", "pdia_stream"):
             S = self.matrix
             return g[S.L: S.L + S.shape[0]]
         return g
@@ -600,6 +771,10 @@ class DistPlan:
             interp = jax.devices()[0].platform == "cpu"
             return spmv_sdia_sharded(mesh, self.matrix, x, axis=axis,
                                      interpret=interp)
+        if self.strategy == "pdia_stream":
+            interp = jax.devices()[0].platform == "cpu"
+            return spmv_psdia_sharded(mesh, self.matrix, x, axis=axis,
+                                      interpret=interp)
         if self.strategy == "bdia":
             return spmv_bdia_sharded(mesh, self.matrix, x, axis=axis)
         if self.strategy == "gpr":
@@ -627,11 +802,11 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
     from ..formats import convert
     from ..ops.auto import _host_coo, analyze
 
-    if strategy not in (None, "dia", "dia_stream", "bdia", "gpr",
-                        "csr_halo"):
+    if strategy not in (None, "dia", "dia_stream", "pdia_stream", "bdia",
+                        "gpr", "csr_halo"):
         raise ValueError(
             f"unknown distributed strategy {strategy!r}; valid: dia, "
-            f"dia_stream, bdia, gpr, csr_halo"
+            f"dia_stream, pdia_stream, bdia, gpr, csr_halo"
         )
     coo = _host_coo(host_mat, dtype)
     stats = analyze(coo)
@@ -652,20 +827,39 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
         return DistPlan(sharded, "dia_stream", sharded.pad_plan,
                         sharded.pad_plan)
 
+    def try_psdia():
+        from ..formats.dia import DIA as _DIA
+        from ..kernels import dia_stream
+
+        hdata, hoffs = _DIA.host_arrays(coo)
+        hdia = _DIA(data=hdata, offsets=hoffs, shape=coo.shape,
+                    nnz=stats.nnz)
+        period = dia_stream.detect_period(hdia)
+        if period is None:
+            raise ValueError("no periodic diagonal structure")
+        ps = dia_stream.pack_psdia(hdia, period=period, rb=sdia_rb)
+        sharded = ShardedPSDIA.build(ps, ndev)
+        return DistPlan(sharded, "pdia_stream", sharded.pad_plan,
+                        sharded.pad_plan)
+
     def try_bdia():
         bdia = convert(coo, "bdia", block_size=8)
         sharded = ShardedBDIA.build(bdia, ndev)
         return DistPlan(sharded, "bdia", sharded.x_plan, sharded.row_plan)
 
-    if strategy in ("dia", "bdia", "dia_stream"):
-        return {"dia": try_dia, "bdia": try_bdia,
-                "dia_stream": try_sdia}[strategy]()
+    if strategy in ("dia", "bdia", "dia_stream", "pdia_stream"):
+        return {"dia": try_dia, "bdia": try_bdia, "dia_stream": try_sdia,
+                "pdia_stream": try_psdia}[strategy]()
     if strategy is None and square and stats.nnz:
         dia_storage = stats.ndiags * stats.nrow
         bdia_storage = stats.nblockdiags_8 * (-(-stats.nrow // 8)) * 64
         if dia_storage <= 4 * stats.nnz and dia_storage <= bdia_storage:
             itemsize = np.dtype(dtype or np.float32).itemsize
             if dia_storage * itemsize > 32 * (1 << 20) * ndev:
+                try:
+                    return try_psdia()
+                except ValueError:
+                    pass
                 try:
                     return try_sdia()
                 except ValueError:
