@@ -167,6 +167,26 @@ def test_psdia_rectangular_grid():
     assert _rel(y, m.astype(np.float64) @ x) < 2e-5
 
 
+def test_spmm_column_split_path():
+    # rb > 2h exercises the 3-way column-split SpMM accumulation (small
+    # tests use whole-tile halos and fall back to the full-window path)
+    g = 64
+    n = g * g
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    S = dia_stream.pack_sdia(dia, rb=4096)
+    PS = dia_stream.pack_psdia(dia, rb=4096)
+    from tpu_spmv.kernels.dia_stream import _halo_size
+
+    assert 2 * _halo_size(S.offsets, S.rb) < S.rb  # split path active
+    X = np.random.default_rng(9).random((n, 5)).astype(np.float32)
+    ref = m.astype(np.float64) @ X
+    Y1 = dia_stream.spmm_sdia(S, jnp.asarray(X), interpret=True)
+    Y2 = dia_stream.spmm_psdia(PS, jnp.asarray(X), interpret=True)
+    assert _rel(Y1, ref) < 2e-5
+    assert _rel(Y2, ref) < 2e-5
+
+
 def test_psdia_checkpoint_roundtrip(tmp_path):
     from tpu_spmv.io import checkpoint
 

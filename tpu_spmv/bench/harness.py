@@ -311,8 +311,9 @@ def bench_spmm(A, X, *, iters: int = DEFAULT_ITERS, check: bool = True,
     name = format_name(A)
     if not quiet:
         print(f"### {name} SPMM{nrhs} GFLOPS = {gflops:.5f}")
-        print(f"    {name} SPMM{nrhs}: {sec * 1e3:.3f} ms/iter | "
-              f"rel_err={rel:.2e}")
+        t = (f"{sec * 1e3:.3f} ms" if sec >= 1e-4
+             else f"{sec * 1e6:.2f} us")
+        print(f"    {name} SPMM{nrhs}: {t}/iter | rel_err={rel:.2e}")
     return {
         "format": name,
         "mode": f"SPMM{nrhs}",

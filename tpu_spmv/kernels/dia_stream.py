@@ -213,14 +213,67 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
     )(A.data, xpad, xpad, xpad)
 
 
+def _spmm_acc(coef, xm, x0, xp, offsets, rb, h):
+    """Per-tile ``[nrhs, rb]`` diagonal accumulation, column-split 3 ways.
+
+    Materializing the full ``[nrhs, rb + 2h]`` window costs an ~(rb+2h)·
+    nrhs-value copy per tile (8.9 MB at rb=65536/nrhs=32).  Interior
+    output columns ``[h, rb-h)`` only ever read inside the own block, so
+    they use slices of the loaded x0 directly; the two h-wide edges use
+    small ``[nrhs, 3h]`` windows.  Measured wall-time-neutral at nrhs=32
+    on chip (the per-diagonal lane shifts dominate, not the window copy)
+    but it cuts the scoped-VMEM temporaries ~4x — headroom for fatter
+    tiles.  Returns (accL, accM, accR), or a single full-width acc when
+    the tile is too thin to split (rb <= 2h).
+
+    ``coef`` maps diagonal index -> its ``[rb]`` coefficient row.
+    Mapped per-RHS SpMV passes were probed as an alternative SpMM
+    formulation and lose badly (94.8 ms vs the panel's 13.5 at 32 RHS:
+    scan's per-pass x-slice/y-update copies add ~200 MB per RHS).
+    """
+    if 2 * h >= rb:       # too thin to split (interior would be empty)
+        win = jnp.concatenate([xm, x0, xp], axis=1)
+        acc = coef(0)[None, :] * jax.lax.slice_in_dim(
+            win, h + offsets[0], h + offsets[0] + rb, axis=1)
+        for d, off in enumerate(offsets[1:], start=1):
+            acc = acc + coef(d)[None, :] * jax.lax.slice_in_dim(
+                win, h + off, h + off + rb, axis=1)
+        return (acc,)
+    winL = jnp.concatenate(
+        [xm, jax.lax.slice_in_dim(x0, 0, 2 * h, axis=1)], axis=1)
+    winR = jnp.concatenate(
+        [jax.lax.slice_in_dim(x0, rb - 2 * h, rb, axis=1), xp], axis=1)
+    accL = accM = accR = None
+    for d, off in enumerate(offsets):
+        # newaxis+slice in ONE indexing op lowers to an (unsupported)
+        # Mosaic gather; expand first, then static-slice
+        c = jnp.expand_dims(coef(d), 0)                       # [1, rb]
+        tL = jax.lax.slice_in_dim(c, 0, h, axis=1) * \
+            jax.lax.slice_in_dim(winL, h + off, 2 * h + off, axis=1)
+        tM = jax.lax.slice_in_dim(c, h, rb - h, axis=1) * \
+            jax.lax.slice_in_dim(x0, h + off, rb - h + off, axis=1)
+        tR = jax.lax.slice_in_dim(c, rb - h, rb, axis=1) * \
+            jax.lax.slice_in_dim(winR, h + off, 2 * h + off, axis=1)
+        accL = tL if accL is None else accL + tL
+        accM = tM if accM is None else accM + tM
+        accR = tR if accR is None else accR + tR
+    return (accL, accM, accR)
+
+
+def _spmm_store(o_ref, pieces, rb, h):
+    if len(pieces) == 1:
+        o_ref[:] = pieces[0]
+    else:
+        accL, accM, accR = pieces
+        o_ref[:, :h] = accL
+        o_ref[:, h:rb - h] = accM
+        o_ref[:, rb - h:] = accR
+
+
 def _spmm_kernel(data_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h):
-    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
-    acc = data_ref[0][None, :] * jax.lax.slice_in_dim(
-        win, h + offsets[0], h + offsets[0] + rb, axis=1)
-    for d, off in enumerate(offsets[1:], start=1):
-        acc = acc + data_ref[d][None, :] * jax.lax.slice_in_dim(
-            win, h + off, h + off + rb, axis=1)
-    o_ref[:] = acc
+    pieces = _spmm_acc(lambda d: data_ref[d], xm_ref[:], x0_ref[:],
+                       xp_ref[:], offsets, rb, h)
+    _spmm_store(o_ref, pieces, rb, h)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -581,21 +634,19 @@ def spmv_psdia(A: PSDIA, x: jax.Array, y: jax.Array | None = None, *,
 
 def _pspmm_kernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
                   L, nrow):
-    win = jnp.concatenate([xm_ref[:], x0_ref[:], xp_ref[:]], axis=1)
-    acc = pat_ref[0][None, :] * jax.lax.slice_in_dim(
-        win, h + offsets[0], h + offsets[0] + rb, axis=1)
-    for d, off in enumerate(offsets[1:], start=1):
-        acc = acc + pat_ref[d][None, :] * jax.lax.slice_in_dim(
-            win, h + off, h + off + rb, axis=1)
+    pieces = _spmm_acc(lambda d: pat_ref[d], xm_ref[:], x0_ref[:],
+                       xp_ref[:], offsets, rb, h)
     j = pl.program_id(0)
     interior = jnp.logical_and(j * rb >= L, (j + 1) * rb <= L + nrow)
 
     @pl.when(interior)
     def _():
-        o_ref[:] = acc
+        _spmm_store(o_ref, pieces, rb, h)
 
     @pl.when(jnp.logical_not(interior))
     def _():
+        acc = (pieces[0] if len(pieces) == 1
+               else jnp.concatenate(pieces, axis=1))
         rows = j * rb + jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
         valid = (rows >= L) & (rows < L + nrow)
         o_ref[:] = jnp.where(valid, acc, jnp.zeros_like(acc))
