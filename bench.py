@@ -348,6 +348,79 @@ def bench_cg() -> dict:
     }
 
 
+def bench_cg_big(PS) -> dict:
+    """CG at headline scale: 16.7M-row SCREENED Poisson (A + I — the
+    implicit-diffusion-step operator; the bare 4096-grid Poisson has
+    kappa ~ 7e6, beyond f32 CG's recursion) through the periodic
+    streaming kernel, whole solve as one compiled loop.  Runs in padded
+    row space — the kernel's row mask keeps pads zero, so dots are exact.
+    Per-iteration time via maxiter differencing, min-of-3; convergence
+    gated at 1e-5 after 40 iterations (kappa ~ 9 -> ~0.5^k error decay).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.kernels import dia_stream
+
+    bp = dia_stream.pad_x(
+        PS, jax.random.uniform(jax.random.PRNGKey(9),
+                               (PS.shape[0],), jnp.float32))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_k(Ad, bv, k):
+        r0 = bv
+        p0 = bv
+        rz0 = jnp.vdot(r0, r0)
+
+        def body(_, st):
+            x, r, p, rz = st
+            Ap = dia_stream.spmv_psdia_padded(Ad, p) + p   # (A + I) p
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rz_new = jnp.vdot(r, r)
+            p = r + (rz_new / rz) * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = jax.lax.fori_loop(
+            0, k, body, (jnp.zeros_like(bv), r0, p0, rz0))
+        return x, jnp.sqrt(rz)
+
+    def run_fenced(k):
+        x, rn = run_k(PS, bp, k)
+        return float(rn) + float(jnp.sum(x) * 0)   # fence both outputs
+
+    run_fenced(5)
+    run_fenced(40)
+    best = {5: float("inf"), 40: float("inf")}
+    for _ in range(3):
+        for k in (5, 40):
+            t0 = time.time()
+            run_fenced(k)
+            best[k] = min(best[k], time.time() - t0)
+    per_iter = (best[40] - best[5]) / 35
+    # TRUE residual of the 40-iteration solution (the recursive residual
+    # goes geometrically below f32 resolution and would overstate)
+    @jax.jit
+    def true_rel(Ad, bv):
+        x, _ = run_k(Ad, bv, 40)
+        r = bv - (dia_stream.spmv_psdia_padded(Ad, x) + x)
+        return jnp.sqrt(jnp.vdot(r, r) / jnp.vdot(bv, bv))
+
+    rel = float(true_rel(PS, bp))
+    assert rel < 1e-3, f"screened-Poisson CG failed to converge: {rel:.2e}"
+    log(f"bench: cg(screened poisson, 4096x4096 grid, psdia) "
+        f"{per_iter * 1e3:.3f} ms/iter; true rel residual after 40 iters "
+        f"{rel:.2e}")
+    return {
+        "ms_per_iteration": round(per_iter * 1e3, 4),
+        "true_rel_residual_40": rel,
+        "nrow": PS.shape[0],
+    }
+
+
 def bench_powerlaw() -> dict:
     """General-pattern stress: power-law (hub-row) matrix through the
     planner — exercises chunked packs, sigma-class packing and the
@@ -505,6 +578,7 @@ def main() -> int:
 
     # --- solver + hub-row generality metrics ---
     cg_detail = bench_cg()
+    cg16_detail = bench_cg_big(PS)
     pl_detail = bench_powerlaw()
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
@@ -537,6 +611,7 @@ def main() -> int:
             "gpr": gpr_detail,
             "bsr": bsr_detail,
             "cg": cg_detail,
+            "cg_16m": cg16_detail,
             "power_law": pl_detail,
         },
     }))
