@@ -42,7 +42,8 @@ from ..formats.dia import DIA
 __all__ = ["SDIA", "pack_sdia", "spmv_sdia_padded", "spmv_sdia",
            "spmm_sdia_padded_t", "spmm_sdia", "supports_sdia",
            "PSDIA", "detect_period", "pack_psdia", "spmv_psdia_padded",
-           "spmv_psdia", "spmm_psdia_padded_t", "spmm_psdia"]
+           "spmv_psdia", "spmm_psdia_padded_t", "spmm_psdia",
+           "transpose_psdia", "transpose_sdia"]
 
 #: floor rows per grid tile (multiple of 1024); :func:`pack_sdia` auto-
 #: selects up to RB_MAX subject to the data-block VMEM budget — fatter
@@ -346,11 +347,88 @@ def unpad_y(A: SDIA, ypad: jax.Array) -> jax.Array:
     return jax.lax.slice_in_dim(ypad, A.L, A.L + A.shape[0])
 
 
+def _place_shifted(v: jax.Array, s: int, npad_dst: int) -> jax.Array:
+    """``out[k] = v[k - s]`` with exact zero fill (``out`` has
+    ``npad_dst`` slots) — static pad + slice, no wraparound."""
+    npad_src = int(v.shape[0])
+    lo = max(0, s)
+    hi = min(npad_dst, npad_src + s)
+    if hi <= lo:
+        return jnp.zeros((npad_dst,), v.dtype)
+    seg = jax.lax.slice_in_dim(v, lo - s, hi - s)
+    return jnp.pad(seg, (lo, npad_dst - hi))
+
+
+def transpose_sdia(A: SDIA) -> SDIA:
+    """``A^T`` as another streaming operator — per-diagonal zero-filled
+    shifts of the (already padded) data block, one device stream.
+
+    Derivation: ``A^T[i, i+o'] = A[i+o', i]`` with ``o' = -o``, so the
+    transposed diagonal's value at global row ``i`` is ``data_o[i + o']``
+    — in padded row space ``dataT[d', k] = data[d, k - s_d]`` with
+    ``s_d = L_T - L + o``.  Out-of-range slots stay exactly zero (they
+    map to structural zeros of ``data`` or to the zero fill), preserving
+    the pad-tile invariant the kernel's clamped x fetches rely on.
+    """
+    nrow, ncol = A.shape
+    offs_T = [-int(o) for o in A.offsets]
+    order = sorted(range(len(offs_T)), key=lambda d: offs_T[d])
+    lo_T = max(0, -min(offs_T))
+    hi_T = max(0, max(offs_T))
+    L_T = _roundup(lo_T, A.rb) if lo_T else 0
+    U_T = _roundup(hi_T, A.rb) if hi_T else 0
+    npad_T = L_T + _roundup(nrow, A.rb) + U_T
+    rows = [_place_shifted(A.data[d], L_T - A.L + int(A.offsets[d]), npad_T)
+            for d in order]
+    return SDIA(data=jnp.stack(rows),
+                offsets=tuple(offs_T[d] for d in order),
+                shape=(ncol, nrow), nnz=A.nnz, L=L_T, rb=A.rb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _spmv_sdia_core(A: SDIA, x: jax.Array, interpret: bool) -> jax.Array:
+    return unpad_y(A, spmv_sdia_padded(A, pad_x(A, x), interpret=interpret))
+
+
+def _spmv_sdia_fwd(A, x, interpret):
+    return _spmv_sdia_core(A, x, interpret), (A, x)
+
+
+def _spmv_sdia_bwd(interpret, res, g):
+    """Reverse-mode rules (Pallas kernels are not auto-differentiable):
+
+    - ``x_bar = A^T g`` — one pass of the SAME streaming kernel on the
+      transposed operator (:func:`transpose_sdia`);
+    - ``data_bar[d, k] = g_pad[k] * x_pad[k + off_d]`` — elementwise in
+      padded row space.  Both pads and out-of-range slots come out
+      exactly zero (``g_pad``/``x_pad`` are zero there), matching the
+      primal's structural-zero invariant; roll wraparound only ever
+      lands on zero ``g_pad`` slots (valid k has ``k + off`` within
+      ``[L - lo, L + nrow + hi) ⊆ [0, npad)``).
+    """
+    A, x = res
+    x_bar = _spmv_sdia_core(transpose_sdia(A), g, interpret)
+    gp = pad_x(A, g)
+    xp = pad_x(A, x)
+    rows = [gp * jnp.roll(xp, -int(off)) for off in A.offsets]
+    A_bar = SDIA(data=jnp.stack(rows).astype(A.data.dtype),
+                 offsets=A.offsets, shape=A.shape, nnz=A.nnz, L=A.L,
+                 rb=A.rb)
+    return (A_bar, x_bar)
+
+
+_spmv_sdia_core.defvjp(_spmv_sdia_fwd, _spmv_sdia_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_sdia(A: SDIA, x: jax.Array, y: jax.Array | None = None, *,
               interpret: bool = False) -> jax.Array:
-    """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally)."""
-    out = unpad_y(A, spmv_sdia_padded(A, pad_x(A, x), interpret=interpret))
+    """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally).
+
+    Differentiable in both ``x`` and ``A.data`` via a custom VJP
+    (``x_bar`` runs the transposed streaming kernel; see
+    :func:`_spmv_sdia_bwd`)."""
+    out = _spmv_sdia_core(A, x, interpret)
     return out if y is None else y + out
 
 
@@ -624,11 +702,75 @@ def spmv_psdia_padded(A: PSDIA, xpad: jax.Array, *,
     )(A.pattern, xpad, xpad, xpad)
 
 
+def transpose_psdia(A: PSDIA) -> PSDIA:
+    """``A^T`` as another periodic operator — no data movement beyond a
+    cyclic roll of each (tiny) pattern row.
+
+    Derivation: ``A^T[i, i+o'] = A[i+o', i] = data[d][i+o']`` with
+    ``off_d = -o'`` — the transposed diagonal is the original one shifted
+    by ``o'``, and a shift of a P-periodic sequence is a cyclic roll of
+    its pattern (``rb % P == 0`` keeps the tiled layout consistent).
+    """
+    offs_T = [-int(o) for o in A.offsets]
+    order = sorted(range(len(offs_T)), key=lambda d: offs_T[d])
+    pat_T = jnp.stack([jnp.roll(A.pattern[d], -offs_T[d]) for d in order])
+    offsets_T = tuple(offs_T[d] for d in order)
+    lo_T = max(0, -min(offsets_T))
+    L_T = _roundup(lo_T, A.rb) if lo_T else 0
+    return PSDIA(pattern=pat_T, offsets=offsets_T,
+                 shape=(A.shape[1], A.shape[0]), nnz=A.nnz, L=L_T,
+                 period=A.period, rb=A.rb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _spmv_psdia_core(A: PSDIA, x: jax.Array, interpret: bool) -> jax.Array:
+    return unpad_y(A, spmv_psdia_padded(A, pad_x(A, x),
+                                        interpret=interpret))
+
+
+def _spmv_psdia_fwd(A, x, interpret):
+    return _spmv_psdia_core(A, x, interpret), (A, x)
+
+
+def _spmv_psdia_bwd(interpret, res, g):
+    """Reverse-mode rules (Pallas kernels are not auto-differentiable):
+
+    - ``x_bar = A^T g`` — one pass of the SAME streaming kernel on the
+      transposed operator (:func:`transpose_psdia`);
+    - ``pattern_bar[d, j] = sum_t (g_pad * shift(x_pad, off_d))[t*rb+j]``
+      — tile slot j serves padded row t*rb+j, so the cotangent folds over
+      the grid tiles (pads/out-of-range slots contribute exact zeros, the
+      same don't-care structure the primal relies on).  Matrix learning
+      (fitted stencils) works at streaming speed.
+    """
+    A, x = res
+    x_bar = _spmv_psdia_core(transpose_psdia(A), g, interpret)
+    gp = pad_x(A, g)
+    xp = pad_x(A, x)
+    rows = []
+    for off in A.offsets:
+        # no wraparound reaches a nonzero gp slot: valid k has
+        # k + off in [L - lo, L + nrow + hi) ⊆ [0, npad)
+        rows.append(jnp.sum((gp * jnp.roll(xp, -int(off)))
+                            .reshape(-1, A.rb), axis=0))
+    A_bar = PSDIA(pattern=jnp.stack(rows).astype(A.pattern.dtype),
+                  offsets=A.offsets, shape=A.shape, nnz=A.nnz, L=A.L,
+                  period=A.period, rb=A.rb)
+    return (A_bar, x_bar)
+
+
+_spmv_psdia_core.defvjp(_spmv_psdia_fwd, _spmv_psdia_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_psdia(A: PSDIA, x: jax.Array, y: jax.Array | None = None, *,
                interpret: bool = False) -> jax.Array:
-    """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally)."""
-    out = unpad_y(A, spmv_psdia_padded(A, pad_x(A, x), interpret=interpret))
+    """``A @ x`` (+ ``y``) with plain ``[n]`` vectors (pads internally).
+
+    Differentiable in both ``x`` and ``A.pattern`` via a custom VJP
+    (``x_bar`` runs the transposed periodic kernel; see
+    :func:`_spmv_psdia_bwd`)."""
+    out = _spmv_psdia_core(A, x, interpret)
     return out if y is None else y + out
 
 
