@@ -80,12 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
-    p.add_argument("--solve", choices=["cg", "pcg", "power"], default=None,
-                   help="run a solver on the matrix (cg / Jacobi-pcg on a "
-                        "synthetic right-hand side — the matrix should be "
-                        "SPD for these to converge; power = dominant "
-                        "eigenpair) and report iterations + residual + "
-                        "wall time")
+    p.add_argument("--solve",
+                   choices=["cg", "pcg", "bicgstab", "gmres", "power"],
+                   default=None,
+                   help="run a solver on the matrix (cg / Jacobi-pcg need "
+                        "SPD; bicgstab / gmres handle general square "
+                        "matrices; power = dominant eigenpair) on a "
+                        "synthetic right-hand side and report iterations "
+                        "+ residual + wall time")
     p.add_argument("--tol", type=float, default=1e-6,
                    help="solver convergence tolerance (with --solve)")
     p.add_argument("--seed", type=int, default=0)
@@ -259,7 +261,7 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
         import numpy as _np
 
         from .ops.auto import plan_spmv
-        from .solvers import cg, power_iteration
+        from .solvers import bicgstab, cg, gmres, power_iteration
 
         if coo.shape[0] != coo.shape[1]:
             print("error: --solve needs a square matrix", file=sys.stderr)
@@ -292,8 +294,15 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                     np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0),
                     dtype=dtype)
                 precond = lambda r: inv * r
-            res = cg(matvec, b, tol=args.tol, maxiter=10_000,
-                     precond=precond)
+            if args.solve == "bicgstab":
+                res = bicgstab(matvec, b, tol=args.tol, maxiter=10_000,
+                               precond=precond)
+            elif args.solve == "gmres":
+                res = gmres(matvec, b, tol=args.tol, maxiter=10_000,
+                            precond=precond)
+            else:
+                res = cg(matvec, b, tol=args.tol, maxiter=10_000,
+                         precond=precond)
             jax.block_until_ready(res.x)
             rel = float(res.residual_norm / jnp.linalg.norm(b))
             line = {"solver": args.solve, "strategy": solve_plan.strategy,

@@ -3,6 +3,8 @@ reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
 
 from .cg import CGResult, cg, jacobi_preconditioner, power_iteration
 from .dist_cg import DistCGResult, dist_cg
+from .krylov import KrylovResult, bicgstab, gmres
 
 __all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
-           "DistCGResult", "dist_cg"]
+           "DistCGResult", "dist_cg",
+           "KrylovResult", "bicgstab", "gmres"]
