@@ -82,6 +82,30 @@ def test_dist_cg(spd, rng, kind):
     np.testing.assert_allclose(spd @ x, b, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("kind", ["allgather", "halo"])
+def test_dist_bicgstab_nonsym(rng, kind):
+    import scipy.sparse as sp
+    from tpu_spmv.solvers import dist_bicgstab
+
+    lap = utils.laplacian_2d(12, 12)
+    pert = sp.random(144, 144, density=0.02, random_state=42, format="csr")
+    m = (lap + 0.5 * (pert - pert.T) + 2.0 * sp.eye(144, format="csr")
+         ).tocsr()
+    mesh = dist.make_mesh(8)
+    csr = ts.convert(ts.COO.from_scipy(m.tocoo()), "csr")
+    if kind == "halo":
+        A = dist.HaloCSR.build(csr, 8, square=True)
+    else:
+        A = dist.ShardedCSR.build(csr, 8, square=True)
+    b = rng.standard_normal(144)
+    bs = dist.ShardedVector.from_global(b, A.row_plan)
+    A, bs = dist.place(A, mesh), dist.place(bs, mesh)
+    res = dist_bicgstab(mesh, A, bs, tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    x = res.x.to_global()
+    np.testing.assert_allclose(m @ x, b, rtol=1e-6, atol=1e-7)
+
+
 def test_dist_cg_partition_mismatch(spd, rng):
     mesh = dist.make_mesh(8)
     csr = ts.convert(ts.COO.from_scipy(spd), "csr")

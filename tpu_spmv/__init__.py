@@ -31,7 +31,7 @@ _tune_host_allocator()
 from .formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo, FORMATS
 from .ops import (
     spmv, spmm, dot, axpby, axpy, fill, fill_random, scale, shift,
-    norm2, check_vector, allclose, plan_spmv,
+    norm2, check_vector, allclose, plan_spmv, transpose,
 )
 from .io import read_matrix, write_matrix, read_dense, write_dense
 from . import solvers
@@ -42,7 +42,7 @@ __all__ = [
     "COO", "CSR", "CSC", "ELL", "DIA", "BSR", "BDIA", "convert", "to_coo",
     "FORMATS",
     "spmv", "spmm", "dot", "axpby", "axpy", "fill", "fill_random", "scale",
-    "shift", "norm2", "check_vector", "allclose", "plan_spmv",
+    "shift", "norm2", "check_vector", "allclose", "plan_spmv", "transpose",
     "read_matrix", "write_matrix", "read_dense", "write_dense",
     "solvers",
     "__version__",

@@ -9,6 +9,7 @@ from .spmm import (
     spmm_bdia,
 )
 from .auto import plan_spmv, analyze, SpmvPlan
+from .transpose import transpose
 from .blas1 import (
     dot, axpby, axpy, add2scaled, fill, fill_random, scale, shift,
     norm2, check_vector, allclose,
@@ -19,7 +20,7 @@ __all__ = [
     "spmv_bsr", "spmv_bdia",
     "spmm", "spmm_coo", "spmm_csr", "spmm_csc", "spmm_ell", "spmm_dia",
     "spmm_bsr", "spmm_bdia",
-    "plan_spmv", "analyze", "SpmvPlan",
+    "plan_spmv", "analyze", "SpmvPlan", "transpose",
     "dot", "axpby", "axpy", "add2scaled", "fill", "fill_random", "scale",
     "shift", "norm2", "check_vector", "allclose",
 ]

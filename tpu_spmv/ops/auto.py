@@ -141,6 +141,22 @@ class SpmvPlan:
     def __call__(self, x, y=None):
         return self._kernel(self.matrix, x, y)
 
+    def transpose(self) -> "SpmvPlan":
+        """The plan for ``A^T`` — zero-copy / device-side for the
+        strategies whose layout supports it (see :mod:`..ops.transpose`);
+        packed Pallas strategies (gpr / pallas_ell) raise — re-plan from
+        the host matrix for those (``plan_spmv(mat.T)``)."""
+        from .transpose import transpose as _t
+
+        swaps = {"csr": "csc", "csc": "csr", "coo": "coo", "dia": "dia",
+                 "dia_stream": "dia_stream", "pdia_stream": "pdia_stream"}
+        if self.strategy not in swaps:
+            raise TypeError(
+                f"strategy {self.strategy!r} has no in-place transpose; "
+                f"re-plan from the host matrix: plan_spmv(mat.T)")
+        return plan_from_matrix(_t(self.matrix), swaps[self.strategy],
+                                self.stats)
+
     def spmm(self, X):
         """Multi-RHS product with the strategy's SpMM kernel (falls back
         to the XLA per-format SpMM for strategies without a native one)."""
