@@ -8,8 +8,11 @@
 // C ABI, consumed via ctypes (tpu_spmv/kernels/permute.py prefers it when
 // native/libpermute_router.so is built; pure-Python fallback otherwise).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstddef>
+#include <cstdio>
+#include <cstdlib>
 using std::size_t;
 #include <vector>
 #ifdef _OPENMP
@@ -95,6 +98,402 @@ int64_t color_bipartite_batch(const int32_t* src, const int32_t* dst,
   for (int64_t t = 0; t < ntiles; ++t) {
     const int64_t lo = offsets[t], hi = offsets[t + 1];
     if (color_bipartite(src + lo, dst + lo, hi - lo, q, color + lo) != 0) {
+#pragma omp critical
+      if (failed == 0 || t + 1 < failed) failed = t + 1;
+    }
+  }
+  return failed;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Engine v3: color-as-final-lane routing (tpu_spmv/kernels/gpr.py).
+//
+// Per destination tile, assign every element a final lane = 8*block +
+// color such that (see docs/DESIGN.md "engine v3"):
+//   - per exchange row r2: all lanes distinct (stage-3 needs a proper
+//     coloring: arrival lane = color, b2 routes (color, r2) -> vals row);
+//   - per matrix row: lanes inside the row's j-block window (the mask-dot
+//     partial [j*W/8, (j+1)*W/8) must belong to ONE row);
+//   - j-slots exclusive within each vals row (<= jcap slots usable).
+// Greedy j-assignment with quadratic balance + 2-opt repair, then an
+// exact per-(block) Konig coloring (max degree <= 8 guaranteed by the
+// (r2, block) <= 8 budget).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int NB = 16;     // 8-lane blocks per 128-lane tile row
+constexpr int QV = 128;
+
+// Generalized Konig coloring: vertex spaces [0, nu) x [0, nv), q colors.
+int color_nq(const int32_t* src, const int32_t* dst, int64_t n_edges,
+             int32_t nu, int32_t nv, int32_t q, int32_t* color) {
+  std::vector<int64_t> src_slot((size_t)nu * q, -1);
+  std::vector<int64_t> dst_slot((size_t)nv * q, -1);
+  std::vector<int64_t> path;
+  path.reserve(2 * q);
+
+  auto first_free = [&](std::vector<int64_t>& slot, int32_t v) -> int32_t {
+    const int64_t* row = &slot[(size_t)v * q];
+    for (int32_t c = 0; c < q; ++c)
+      if (row[c] < 0) return c;
+    return -1;
+  };
+
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int32_t u = src[e], v = dst[e];
+    const int32_t a = first_free(src_slot, u);
+    const int32_t b = first_free(dst_slot, v);
+    if (a < 0 || b < 0) return -1;
+    if (a != b) {
+      path.clear();
+      int32_t node = v;
+      bool on_dst = true;
+      int32_t col = a;
+      while (true) {
+        const int64_t eid = on_dst ? dst_slot[(size_t)node * q + col]
+                                   : src_slot[(size_t)node * q + col];
+        if (eid < 0) break;
+        path.push_back(eid);
+        if (on_dst) {
+          node = src[eid];
+          on_dst = false;
+        } else {
+          node = dst[eid];
+          on_dst = true;
+        }
+        col = (col == a) ? b : a;
+      }
+      for (const int64_t eid : path) {
+        const int32_t c_old = color[eid];
+        if (src_slot[(size_t)src[eid] * q + c_old] == eid)
+          src_slot[(size_t)src[eid] * q + c_old] = -1;
+        if (dst_slot[(size_t)dst[eid] * q + c_old] == eid)
+          dst_slot[(size_t)dst[eid] * q + c_old] = -1;
+      }
+      for (const int64_t eid : path) {
+        const int32_t c_new = (color[eid] == a) ? b : a;
+        color[eid] = c_new;
+        src_slot[(size_t)src[eid] * q + c_new] = eid;
+        dst_slot[(size_t)dst[eid] * q + c_new] = eid;
+      }
+    }
+    color[e] = a;
+    src_slot[(size_t)u * q + a] = e;
+    dst_slot[(size_t)v * q + a] = e;
+  }
+  return 0;
+}
+
+struct V3Tile {
+  // per-element (tile-local) views
+  const int32_t* r2;
+  const int32_t* rowid;    // tile-local dense row index
+  int64_t ne;
+  // per-row (tile-local) views
+  const int32_t* rW;       // class width (8..128)
+  const int32_t* rv;       // vals row within tile [0, 128)
+  const int32_t* rjcap;    // usable j-slots in the row's vals row
+  int64_t nr;
+};
+
+// Route one tile; lane[e] out.  Returns 0 on success, -1 infeasible.
+// `salt` perturbs the greedy order (multi-restart escapes local minima).
+int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
+                  uint64_t salt) {
+  const int64_t ne = T.ne, nr = T.nr;
+  // group elements by row
+  std::vector<int64_t> rstart(nr + 1, 0), relems(ne);
+  for (int64_t e = 0; e < ne; ++e) rstart[T.rowid[e] + 1]++;
+  for (int64_t r = 0; r < nr; ++r) rstart[r + 1] += rstart[r];
+  {
+    std::vector<int64_t> cur(rstart.begin(), rstart.end() - 1);
+    for (int64_t e = 0; e < ne; ++e) relems[cur[T.rowid[e]]++] = e;
+  }
+  // per-vals-row j occupancy
+  std::vector<uint32_t> jused(QV, 0);          // bitmask per vals row
+  std::vector<int32_t> rj(nr, -1);             // assigned j per row
+  std::vector<int32_t> load(QV * NB, 0);       // (r2, block)
+  std::vector<int32_t> eblock(ne, -1);
+
+  // distribute a row's elements into its block set, greedily by load
+  auto place_row = [&](int64_t r, int32_t j, bool commit) -> int64_t {
+    const int32_t W = T.rW[r], nbr = W / 8, b0 = j * nbr;
+    int64_t cost = 0;
+    // per-(row, block) cap of 8 ACROSS exchange rows: the final coloring's
+    // dst vertex is the vals row, whose per-block degree is this row's
+    // per-block total (each block has one owning row)
+    int32_t row_blk[NB] = {0};
+    // per-r2 runs: elements of the row sorted by r2 (sort tiny ranges)
+    const int64_t lo = rstart[r], hi = rstart[r + 1];
+    // simple insertion into per-call scratch (rows are <= 128 entries)
+    int64_t idx[QV];
+    int32_t cnt = 0;
+    int32_t seen_r2[QV];
+    int32_t seen_n[QV];
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t rr = T.r2[relems[i]];
+      int32_t s = -1;
+      for (int32_t k2 = 0; k2 < cnt; ++k2)
+        if (seen_r2[k2] == rr) { s = k2; break; }
+      if (s < 0) { s = cnt++; seen_r2[s] = rr; seen_n[s] = 0; idx[s] = i; }
+      seen_n[s]++;
+    }
+    // NOTE: elements of one row sharing r2 are contiguous in relems only
+    // if stable-grouped; we instead re-scan per (r2) below.
+    for (int32_t s = 0; s < cnt; ++s) {
+      const int32_t rr = seen_r2[s];
+      int32_t c = seen_n[s];
+      // fill emptiest blocks of the set first, cap 8 per (r2, block)
+      int32_t order[NB];
+      for (int32_t b = 0; b < nbr; ++b) order[b] = b0 + b;
+      for (int32_t a2 = 1; a2 < nbr; ++a2) {  // insertion sort by load
+        int32_t key = order[a2];
+        int32_t kl = load[(size_t)rr * NB + key];
+        int32_t b2 = a2 - 1;
+        while (b2 >= 0 && load[(size_t)rr * NB + order[b2]] > kl) {
+          order[b2 + 1] = order[b2];
+          --b2;
+        }
+        order[b2 + 1] = key;
+      }
+      int64_t placed_target[NB];
+      int32_t placed_take[NB];
+      int32_t nplaced = 0;
+      for (int32_t b = 0; b < nbr && c > 0; ++b) {
+        const int32_t bb = order[b];
+        int32_t room = 8 - load[(size_t)rr * NB + bb];
+        const int32_t row_room = 8 - row_blk[bb - b0];
+        if (row_room < room) room = row_room;
+        if (room <= 0) continue;
+        int32_t take = room < c ? room : c;
+        row_blk[bb - b0] += take;
+        placed_target[nplaced] = bb;
+        placed_take[nplaced++] = take;
+        c -= take;
+        cost += (int64_t)(load[(size_t)rr * NB + bb] + take) *
+                    (load[(size_t)rr * NB + bb] + take) -
+                (int64_t)load[(size_t)rr * NB + bb] *
+                    load[(size_t)rr * NB + bb];
+        if (commit) load[(size_t)rr * NB + bb] += take;
+      }
+      if (c > 0) {
+        cost += 1000000LL * c;   // overflow: dump in least-loaded block
+        if (commit) {
+          placed_target[nplaced] = order[0];
+          placed_take[nplaced++] = 0;  // marker handled below
+        }
+      }
+      if (commit) {
+        // walk the row's elements with this r2 and write blocks
+        int32_t wi = 0, wrem = nplaced ? placed_take[0] : 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          const int64_t e = relems[i];
+          if (T.r2[e] != rr) continue;
+          while (wi < nplaced && wrem == 0) {
+            ++wi;
+            wrem = wi < nplaced ? placed_take[wi] : 0;
+          }
+          int32_t bb;
+          if (wi < nplaced && wrem > 0) {
+            bb = (int32_t)placed_target[wi];
+            --wrem;
+          } else {   // overflow spill: least-loaded block with row room
+            bb = -1;
+            for (int32_t b2 = 0; b2 < nbr; ++b2) {
+              if (row_blk[b2] >= 8) continue;
+              if (bb < 0 || load[(size_t)rr * NB + b0 + b2] <
+                                load[(size_t)rr * NB + bb])
+                bb = b0 + b2;
+            }
+            if (bb < 0) bb = b0;   // row full beyond capacity: impossible
+            row_blk[bb - b0]++;
+            load[(size_t)rr * NB + bb]++;
+          }
+          eblock[e] = bb;
+        }
+      }
+    }
+    (void)idx;
+    return cost;
+  };
+
+  auto unplace_row = [&](int64_t r) {
+    for (int64_t i = rstart[r]; i < rstart[r + 1]; ++i) {
+      const int64_t e = relems[i];
+      load[(size_t)T.r2[e] * NB + eblock[e]]--;
+      eblock[e] = -1;
+    }
+  };
+
+  // ---- greedy: heaviest rows first --------------------------------------
+  std::vector<int64_t> rorder(nr);
+  for (int64_t r = 0; r < nr; ++r) rorder[r] = r;
+  auto mix = [salt](int64_t r) {
+    uint64_t x = (uint64_t)r * 0x9e3779b97f4a7c15ULL + salt;
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    return x;
+  };
+  std::sort(rorder.begin(), rorder.end(), [&](int64_t a, int64_t b) {
+    const int64_t la = rstart[a + 1] - rstart[a];
+    const int64_t lb = rstart[b + 1] - rstart[b];
+    if (la != lb) return la > lb;
+    return mix(a) < mix(b);     // salted tie-break for restarts
+  });
+  for (const int64_t r : rorder) {
+    const int32_t W = T.rW[r], kslots = QV / W;
+    const int32_t v = T.rv[r], jcap = T.rjcap[r];
+    int64_t best_cost = -1;
+    int32_t best_j = -1;
+    for (int32_t j = 0; j < kslots && j < jcap; ++j) {
+      if (jused[v] & (1u << j)) continue;
+      const int64_t cost = place_row(r, j, false);
+      if (best_cost < 0 || cost < best_cost) {
+        best_cost = cost;
+        best_j = j;
+      }
+    }
+    if (best_j < 0) {                // no free j slot at all
+      if (getenv("V3_DEBUG"))
+        fprintf(stderr, "v3: no free j for row %lld (v=%d W=%d jcap=%d "
+                "used=%x)\n", (long long)r, v, W, jcap, jused[v]);
+      return -1;
+    }
+    rj[r] = best_j;
+    jused[v] |= (1u << best_j);
+    place_row(r, best_j, true);
+  }
+
+  auto overflow_total = [&]() {
+    int64_t s = 0;
+    for (size_t i = 0; i < load.size(); ++i)
+      if (load[i] > 8) s += load[i] - 8;
+    return s;
+  };
+
+  // ---- repair sweeps: move/swap j within the vals row --------------------
+  // small rows first: they relocate with the least collateral load shift
+  std::vector<int64_t> rfix(rorder.rbegin(), rorder.rend());
+  for (int32_t sweep = 0; sweep < sweeps; ++sweep) {
+    if (overflow_total() == 0) break;
+    bool improved = false;
+    for (const int64_t r : rfix) {
+      // does this row touch an overloaded cell?
+      bool touches = false;
+      for (int64_t i = rstart[r]; i < rstart[r + 1] && !touches; ++i) {
+        const int64_t e = relems[i];
+        if (load[(size_t)T.r2[e] * NB + eblock[e]] > 8) touches = true;
+      }
+      if (!touches) continue;
+      const int32_t W = T.rW[r], kslots = QV / W;
+      const int32_t v = T.rv[r], jcap = T.rjcap[r];
+      const int32_t j_cur = rj[r];
+      const int64_t before = overflow_total();
+      bool done = false;
+      // (a) move to a free slot
+      for (int32_t j = 0; j < kslots && j < jcap && !done; ++j) {
+        if (j == j_cur || (jused[v] & (1u << j))) continue;
+        unplace_row(r);
+        place_row(r, j, true);
+        if (overflow_total() < before) {
+          jused[v] = (jused[v] & ~(1u << j_cur)) | (1u << j);
+          rj[r] = j;
+          improved = done = true;
+        } else {
+          unplace_row(r);
+          place_row(r, j_cur, true);
+        }
+      }
+      if (done) continue;
+      // (b) swap with a sibling row of the same vals row & width
+      for (int64_t r2x = 0; r2x < nr && !done; ++r2x) {
+        if (r2x == r || T.rv[r2x] != v || T.rW[r2x] != W) continue;
+        const int32_t j_x = rj[r2x];
+        unplace_row(r);
+        unplace_row(r2x);
+        place_row(r, j_x, true);
+        place_row(r2x, j_cur, true);
+        if (overflow_total() < before) {
+          rj[r] = j_x;
+          rj[r2x] = j_cur;
+          improved = done = true;
+        } else {
+          unplace_row(r);
+          unplace_row(r2x);
+          place_row(r, j_cur, true);
+          place_row(r2x, j_x, true);
+        }
+      }
+    }
+    if (!improved) break;
+  }
+  if (overflow_total() != 0) {
+    if (getenv("V3_DEBUG"))
+      fprintf(stderr, "v3: residual overflow %lld (ne=%lld nr=%lld)\n",
+              (long long)overflow_total(), (long long)ne, (long long)nr);
+    return -1;
+  }
+
+  // ---- exact per-block coloring ------------------------------------------
+  // edges of block b: (src=r2, dst=vals row) — degree <= 8 both sides
+  for (int32_t b = 0; b < NB; ++b) {
+    std::vector<int32_t> es, ed;
+    std::vector<int64_t> eid;
+    es.reserve(ne / NB + 8);
+    for (int64_t e = 0; e < ne; ++e) {
+      if (eblock[e] != b) continue;
+      es.push_back(T.r2[e]);
+      ed.push_back(T.rv[T.rowid[e]]);
+      eid.push_back(e);
+    }
+    if (es.empty()) continue;
+    std::vector<int32_t> col(es.size(), -1);
+    if (color_nq(es.data(), ed.data(), (int64_t)es.size(), QV, QV, 8,
+                 col.data()) != 0) {
+      if (getenv("V3_DEBUG"))
+        fprintf(stderr, "v3: coloring failed for block %d (%zu edges)\n",
+                b, es.size());
+      return -1;
+    }
+    for (size_t i = 0; i < eid.size(); ++i)
+      lane[eid[i]] = 8 * b + col[i];
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// v3 routing over all destination tiles (OpenMP).  Element arrays are
+// grouped by tile via eoff; row tables via roff.  Writes lane[e]; returns
+// 0 on success or 1-based index of the first infeasible tile.
+int64_t v3_route(const int32_t* r2, const int32_t* rowid,
+                 const int64_t* eoff,
+                 const int32_t* rW, const int32_t* rv, const int32_t* rjcap,
+                 const int64_t* roff, int64_t ntiles, int32_t sweeps,
+                 int32_t* lane) {
+  int64_t failed = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t t = 0; t < ntiles; ++t) {
+    V3Tile T;
+    T.r2 = r2 + eoff[t];
+    T.rowid = rowid + eoff[t];
+    T.ne = eoff[t + 1] - eoff[t];
+    T.rW = rW + roff[t];
+    T.rv = rv + roff[t];
+    T.rjcap = rjcap + roff[t];
+    T.nr = roff[t + 1] - roff[t];
+    if (T.ne == 0) continue;
+    int ok = -1;
+    for (uint64_t restart = 0; restart < 8 && ok != 0; ++restart)
+      ok = v3_route_tile(T, lane + eoff[t], sweeps,
+                         restart * 0x2545f4914f6cdd1dULL);
+    if (ok != 0) {
 #pragma omp critical
       if (failed == 0 || t + 1 < failed) failed = t + 1;
     }

@@ -37,6 +37,35 @@ def test_gpr_oracle(case):
     _check(CASES[case]())
 
 
+def test_gpr_engine_v3_engages():
+    # big enough for the v3 qcap ladder to find a feasible coloring; the
+    # oracle then runs the v3 kernel (exchange-layout vals, b2-only
+    # stage 3, transposed mask-dot) in interpret mode
+    mat = utils.random_sparse(40_000, 40_000, 7 / 40_000, seed=102)
+    packed = _check(mat)
+    assert packed.fused_v3, "v3 router should route this size"
+    # SpMM through the v3 stage-2/3 kernel too
+    X = jnp.asarray(
+        np.random.default_rng(5).random((40_000, 2)), jnp.float32)
+    Y = gpr.spmm_gpr(packed, X, interpret=True)
+    ref = mat @ np.asarray(X, np.float64)
+    rel = np.max(np.abs(np.asarray(Y, np.float64) - ref)) / np.max(
+        np.abs(ref))
+    assert rel < 2e-5, rel
+
+
+def test_gpr_engine_v3_off_matches():
+    # ENGINE_V3=False must produce the identical result through v2
+    mat = utils.random_sparse(40_000, 40_000, 7 / 40_000, seed=103)
+    old = gpr.ENGINE_V3
+    try:
+        gpr.ENGINE_V3 = False
+        p2 = _check(mat)
+        assert not p2.fused_v3
+    finally:
+        gpr.ENGINE_V3 = old
+
+
 def test_gpr_hub_split():
     # round-2: hub rows (>128 entries) split into virtual rows folded
     # back by a tiny segment-sum — NO entries on the COO side path

@@ -63,6 +63,10 @@ TPS = 16
 #: ~900k single-level routing cap, so every chunk gets the fused
 #: two-launch pipeline (two-level plans cannot fuse)
 CHUNK_NNZ = 700_000
+#: attempt engine-v3 (color-as-final-lane) routing on default packs —
+#: drops stage-3's final transpose + b3 gather; transparently falls back
+#: to the v2 planes when the router finds no feasible coloring
+ENGINE_V3 = True
 
 
 @sparse_dataclass
@@ -112,6 +116,13 @@ class GPCSR:
     #: glidx) and stage-2/3 fused with the mask-dot reduce (vals in plan
     #: layout).  Set at pack time iff single-block + single-level plan.
     fused: bool = static_field(default=False)
+    #: engine v3 (color-as-final-lane routing): stage 3 is exchange ->
+    #: multiply (vals in EXCHANGE layout [T, 128, 128]) -> transpose ->
+    #: b2 gather -> transposed mask-dot; the final transpose and the b3
+    #: gather disappear (~330 ns/tile measured, tools/probe_engine_v3.py).
+    #: Set when the v3 router found a feasible coloring (falls back to
+    #: the v2 planes otherwise).
+    fused_v3: bool = static_field(default=False)
     #: number of virtual hub-split rows appended after shape[0] real rows
     nv: int = static_field(default=0)
 
@@ -344,14 +355,53 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     # a completed dummy mapping adds real cross-tile flows that blow the
     # per-tile row budget at scale
     hp: dict = {}
+    # engine v3 metadata: per flat destination position, the element's
+    # class width, its (internal) matrix row, and the usable j-slot count
+    # of its vals row (tail vals rows are partially occupied; swaps must
+    # stay inside the used region so the per-class [:rows] extraction
+    # stays a static slice)
+    v3_meta = None
+    if (ENGINE_V3 and targets is None and nm
+            and -(-ncol // LANES) <= CB_SEGS):
+        jcap_e = np.minimum(
+            k_e, rows_per_class[e_cls] - (lr // k_e) * k_e)
+        w_of_dst = np.zeros(N, np.int32)
+        row_of_dst = np.full(N, -1, np.int64)
+        jcap_of_dst = np.zeros(N, np.int32)
+        w_of_dst[dst_flat] = W_e
+        row_of_dst[dst_flat] = m_rows
+        jcap_of_dst[dst_flat] = jcap_e
+        v3_meta = dict(w_of_dst=w_of_dst, row_of_dst=row_of_dst,
+                       jcap_of_dst=jcap_of_dst)
     if targets is not None:
         plan = _perm.plan_permutation(perm, force_r_p=targets["rp"],
                                       host_planes=hp)
     else:
-        # single_level_only raises before any coloring when the flows
-        # need two-level routing — the adaptive chunker splits instead
-        plan = _perm.plan_permutation_auto(
-            perm, host_planes=hp, two_level=not single_level_only)
+        plan = None
+        if v3_meta is not None:
+            # probe the qcap ladder; strict probes raise BEFORE any plane
+            # coloring, so a failed rung costs only the stage-2 numpy
+            # machinery + the (0.1s-scale) C++ router
+            for qc in _perm.V3_QCAP_LADDER:
+                try:
+                    hp = {}
+                    plan = _perm.plan_permutation(
+                        perm, host_planes=hp, qcap=qc,
+                        v3_meta=v3_meta, v3_strict=True)
+                    break
+                except _perm.V3Infeasible:
+                    plan = None
+                except ValueError:
+                    # single-level budget infeasible — lower qcap only
+                    # inflates rows further; go straight to the v2 path
+                    plan = None
+                    break
+        if plan is None:
+            # single_level_only raises before any coloring when the flows
+            # need two-level routing — the adaptive chunker splits instead
+            hp = {}
+            plan = _perm.plan_permutation_auto(
+                perm, host_planes=hp, two_level=not single_level_only)
 
     # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
     col_blocks: tuple = ()
@@ -383,6 +433,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     # Padded slots gather garbage that only ever reaches dummy destination
     # slots (real destinations are sourced exclusively from real slots).
     fused = bool(not col_blocks and isinstance(plan, _perm.PermutationPlan))
+    fused_v3 = bool(fused and hp.get("v3"))
     vals_store = vals_ps
     if fused:
         rp128 = plan.real_per_tile // LANES
@@ -397,18 +448,59 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         # (96 ns/tile measured) and 1 int8 plane less traffic per pass.
         a1r = hp["a1"][:, :rp128, :].reshape(plan.ntiles * rp128, LANES)
         glidx = np.take_along_axis(glidx, a1r, axis=1)
-        # vals in PLAN-TILE layout for the fused stage-3 + mask-dot
-        # reduce: flat dest element i of the routed space lives at plan
-        # tile i // r_p, row (i % r_p) // 128, lane i % 128
-        nv = plan.ntiles * plan.real_per_tile
-        vflat = np.zeros(nv, dtype=vals_ps.dtype)
-        vflat[: vals_ps.size] = vals_ps.reshape(-1)
-        vals_store = vflat.reshape(plan.ntiles, rp128, LANES)
+        if fused_v3:
+            # vals in EXCHANGE layout [T, 128(r2), 128(final lane)]: the
+            # v3 kernel multiplies right after the stack8 exchange, then
+            # transposes once, b2-gathers, and mask-dots the transposed
+            # product — non-element slots are exact zeros, which is what
+            # makes the b2 fill slots inert
+            ve = hp["v3_elem"]
+            val_of_dst = np.zeros(N, dtype=vals_ps.dtype)
+            val_of_dst[dst_flat] = m_data
+            vals_store = np.zeros((plan.ntiles, LANES, LANES),
+                                  vals_ps.dtype)
+            vals_store[ve["td"], ve["r2"], ve["lane"]] = \
+                val_of_dst[ve["dst_pos"]]
+        else:
+            # vals in PLAN-TILE layout for the fused stage-3 + mask-dot
+            # reduce: flat dest element i of the routed space lives at
+            # plan tile i // r_p, row (i % r_p) // 128, lane i % 128
+            nv2 = plan.ntiles * plan.real_per_tile
+            vflat = np.zeros(nv2, dtype=vals_ps.dtype)
+            vflat[: vals_ps.size] = vals_ps.reshape(-1)
+            vals_store = vflat.reshape(plan.ntiles, rp128, LANES)
         plan = dataclasses.replace(plan, a1=jnp.zeros((1, 1, 1), jnp.int8))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
-    if padded_y:
+    if fused_v3:
+        # v3 reassigns each row's j-slot within its vals row (its partial
+        # window follows its elements' final lanes: j = lane // W); rows
+        # with no elements take the leftover j's of their vals row, so
+        # the used region of every class stays the leading static slice
+        ve = hp["v3_elem"]
+        j_dst = np.full(N, -1, np.int64)
+        j_dst[ve["dst_pos"]] = (ve["lane"]
+                                // w_of_dst[ve["dst_pos"]])
+        rows_j = np.full(nrow, -1, np.int64)
+        rows_j[m_rows] = j_dst[dst_flat]
+        k_all = LANES // np.asarray(CLASS_W)[cls]
+        vrl = (sorted_pos - cstart[cls]) // k_all
+        gkey = cls * nrow + vrl          # unique per (class, vals row)
+        ug, ginv = np.unique(gkey, return_inverse=True)
+        gsize = np.bincount(ginv)
+        taken = np.zeros((len(ug), 16), bool)
+        has = rows_j >= 0
+        taken[ginv[has], rows_j[has]] = True
+        # slots beyond the group's row count are unusable (tail vals row)
+        taken[np.arange(16)[None, :] >= gsize[:, None]] = True
+        _, free_j = np.nonzero(~taken)            # sorted by (g, j)
+        miss = np.flatnonzero(~has)
+        miss = miss[np.argsort(ginv[miss], kind="stable")]
+        rows_j[miss] = free_j                      # counts match per group
+        new_pos = cstart[cls] + vrl * k_all + rows_j
+        yplan = _perm.plan_permutation_auto(new_pos)
+    elif padded_y:
         # padded class-capacity space -> natural rows: the compaction the
         # non-padded path does with static slicing lives HERE, in the plan
         # VALUES, so packs with different class occupancies share shapes
@@ -440,6 +532,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         class_tiles=tuple(class_tiles),
         col_blocks=col_blocks,
         fused=fused,
+        fused_v3=fused_v3,
         hub_owner=(jnp.asarray(hub_owner) if len(hub_owner) else None),
         nv=int(len(hub_owner)),
     )
@@ -764,6 +857,34 @@ def _fused_s23_reduce_rhs_kernel(rowsrc_ref, z_ref, b2_ref, b3_ref,
     o_ref[0] = out.reshape(tb, rp128, 16)
 
 
+def _fused_s23_reduce_rhs_kernel_v3(rowsrc_ref, z_ref, b2_ref, vals_ref,
+                                    mt_ref, o_ref, *, tb):
+    """Engine-v3 stage 2+3 + reduce: stack8 exchange -> multiply (vals in
+    EXCHANGE layout) -> ONE transpose -> b2 gather -> transposed mask-dot
+    ``[16, 128] @ [128, 128]``.  vs the v2 T-G-T-G form this drops the
+    final transpose and the b3 gather (~330 ns/tile measured,
+    tools/probe_engine_v3.py); partials come out ``[16, 128(vals row)]``
+    per tile and are re-oriented by XLA outside (cheap: ~750 KB)."""
+    t0 = pl.program_id(1) * tb
+    for i in range(tb):
+
+        def stack8(s, i=i):
+            base = (t0 + i) * LANES + s * 8
+            return jnp.stack([z_ref[0, rowsrc_ref[base + j], :]
+                              for j in range(8)])
+
+        z = jnp.concatenate([stack8(s) for s in range(LANES // 8)], axis=0)
+        prod = z * vals_ref[i]
+        prod = prod.T
+        prod = jnp.take_along_axis(prod, b2_ref[i].astype(jnp.int32),
+                                   axis=1)
+        o_ref[0, i] = lax.dot_general(
+            mt_ref[:], prod, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=prod.dtype,
+        )
+
+
 def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
                                   interpret: bool = False) -> jax.Array:
     """``z [nrhs, T*128, 128]`` → width-8 partials ``[nrhs, T, rp128, 16]``."""
@@ -780,6 +901,33 @@ def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
         b2, b3 = (jnp.pad(b, pad_t) for b in (b2, b3))
         vals = jnp.pad(vals, pad_t)
         rowsrc = jnp.pad(rowsrc, (0, (Tp - T) * LANES))
+    if A.fused_v3:
+        mask_t = jnp.asarray(_mask16(A.vals.dtype)).T     # [16, 128]
+        P = pl.pallas_call(
+            functools.partial(_fused_s23_reduce_rhs_kernel_v3, tb=tb),
+            out_shape=jax.ShapeDtypeStruct((nrhs, Tp, 16, LANES),
+                                           A.vals.dtype),
+            grid=(nrhs, nt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # rowsrc
+                pl.BlockSpec((1, T * LANES, LANES),
+                             lambda q, tg: (q, 0, 0),
+                             memory_space=pltpu.VMEM),       # z, per-rhs
+                pl.BlockSpec((tb, LANES, LANES),
+                             lambda q, tg: (tg, 0, 0),
+                             memory_space=pltpu.VMEM),       # b2
+                pl.BlockSpec((tb, LANES, LANES),
+                             lambda q, tg: (tg, 0, 0),
+                             memory_space=pltpu.VMEM),       # vals
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # mask_t
+            ],
+            out_specs=pl.BlockSpec((1, tb, 16, LANES),
+                                   lambda q, tg: (q, tg, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(rowsrc, z, b2, vals, mask_t)[:, :T]
+        # [nrhs, T, 16(partial), 128(vals row)] -> the v2 orientation
+        return jnp.swapaxes(P, -1, -2)[:, :, :rp128, :]
     out = pl.pallas_call(
         functools.partial(_fused_s23_reduce_rhs_kernel, tb=tb,
                           rp128=rp128),

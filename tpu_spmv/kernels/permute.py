@@ -272,9 +272,43 @@ class PermutationPlan:
         return int(self.a2.shape[0])
 
 
+def _v3_router():
+    """The native v3 routing entry (engine v3, see gpr.py) or None."""
+    lib = _native_router()
+    if lib is None or not hasattr(lib, "v3_route"):
+        return None
+    if not getattr(lib, "_v3_sig", False):
+        I32 = _ctypes.POINTER(_ctypes.c_int32)
+        I64 = _ctypes.POINTER(_ctypes.c_int64)
+        lib.v3_route.restype = _ctypes.c_int64
+        lib.v3_route.argtypes = [I32, I32, I64, I32, I32, I32, I64,
+                                 _ctypes.c_int64, _ctypes.c_int32, I32]
+        lib._v3_sig = True
+    return lib
+
+
+#: stage-2 row fill for engine-v3 packs: < 128 leaves the (exchange row,
+#: 8-lane block) budget the slack that makes color-as-final-lane routing
+#: feasible (full 128-element rows need a PERFECT 8-per-block spread).
+#: Feasibility is not monotonic in problem size (it depends on tile
+#: fullness after the r_p search), so producers probe the LADDER in order
+#: and take the first qcap that routes (larger = fewer stage-2 rows).
+V3_QCAP = 112
+V3_QCAP_LADDER = (112, 96, 80)
+
+
+class V3Infeasible(Exception):
+    """Raised by :func:`plan_permutation` under ``v3_strict`` when the
+    engine-v3 router finds no feasible coloring — BEFORE any (expensive)
+    plane coloring, so qcap-ladder probes are cheap."""
+
+
 def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
                      force_r_p: int | None = None,
-                     host_planes: dict | None = None) -> PermutationPlan:
+                     host_planes: dict | None = None,
+                     qcap: int = Q,
+                     v3_meta: dict | None = None,
+                     v3_strict: bool = False) -> PermutationPlan:
     """Route an arbitrary permutation of ``n`` elements.
 
     Elements are laid out ``slack``-padded: each tile carries
@@ -293,6 +327,16 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     producers that fold engine stages into their own kernels (gpr's
     gather composes ``a1`` into its lane indices) never pull device
     arrays back through the tunnel.
+
+    ``qcap`` caps elements per stage-2 row (< 128 buys engine-v3 routing
+    slack); ``v3_meta`` (keys ``w_of_dst/row_of_dst/jcap_of_dst``, flat
+    ``[N]`` per destination position, -1/0 on dummies) requests the
+    color-as-final-lane routing: on success the plan's ``b3`` is a dummy,
+    ``b2[c, r'] = r2`` routes the transposed product directly under the
+    mask-dot (``host_planes['v3'] = True``, element placement under
+    ``host_planes['v3_elem']``); on routing failure the plan silently
+    falls back to the standard 5-plane form (``host_planes['v3'] =
+    False``).  See gpr.py "engine v3" for the derivation.
     """
     perm = np.asarray(perm, dtype=np.int64)
     n = len(perm)
@@ -332,14 +376,14 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
             if T_c * T_c <= max(4 * n, 1 << 20) else None
         if cnt_all is not None:
             nzp = np.flatnonzero(cnt_all)
-            rows_per_pair = -(-cnt_all[nzp] // Q)
+            rows_per_pair = -(-cnt_all[nzp] // qcap)
             send = np.bincount(nzp // T_c, weights=rows_per_pair,
                                minlength=T_c)
             recv = np.bincount(nzp % T_c, weights=rows_per_pair,
                                minlength=T_c)
         else:
             uniq, cnt = np.unique(pair, return_counts=True)
-            rows_per_pair = -(-cnt // Q)
+            rows_per_pair = -(-cnt // qcap)
             send = np.bincount(uniq // T_c, weights=rows_per_pair,
                                minlength=T_c)
             recv = np.bincount(uniq % T_c, weights=rows_per_pair,
@@ -370,10 +414,10 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     grp_start[new_pair] = np.flatnonzero(new_pair)
     grp_start = np.maximum.accumulate(grp_start)
     pos_in_grp = np.arange(nr) - grp_start
-    chunk = pos_in_grp // Q           # chunk index within group
-    lane = (pos_in_grp % Q).astype(np.int64)
+    chunk = pos_in_grp // qcap        # chunk index within group
+    lane = (pos_in_grp % qcap).astype(np.int64)
     # unique (pair, chunk) -> a stage-2 row
-    ckey = pair * (Q + 1) + np.minimum(chunk, Q)
+    ckey = pair * (2 * Q + 1) + np.minimum(chunk, 2 * Q)
     new_row = np.ones(nr, dtype=bool)
     new_row[1:] = ckey[1:] != ckey[:-1]
     row_id_of_elem = np.cumsum(new_row) - 1           # global packed row id
@@ -403,6 +447,71 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
 
     r1 = slot_within(row_ts)          # row within source tile after stage 1
     r2 = slot_within(row_td)          # row within dest tile after stage 2
+
+    # ---- engine v3: color-as-final-lane routing (see docstring) ----------
+    v3_ok = False
+    if v3_meta is not None and nr and T > 0:
+        lib = _v3_router()
+        if lib is not None:
+            dst_pos = ridx[order]
+            r2_e = r2[row_id_of_elem]
+            vrow_e = (dst_pos % r_p) // Q
+            mrow_e = v3_meta["row_of_dst"][dst_pos]
+            W_e = v3_meta["w_of_dst"][dst_pos]
+            jcap_e = v3_meta["jcap_of_dst"][dst_pos]
+            # group elements by (tile, vals row, matrix row) -> dense rows
+            key = (td_o * Q + vrow_e) * (np.int64(1) << 40) + mrow_e
+            eorder = np.lexsort((key, td_o))
+            ks = key[eorder]
+            newr3 = np.r_[True, ks[1:] != ks[:-1]]
+            grow = np.cumsum(newr3) - 1
+            td_s = td_o[eorder]
+            row_tile = td_s[newr3]
+            eoff = np.zeros(T + 1, np.int64)
+            np.cumsum(np.bincount(td_o, minlength=T), out=eoff[1:])
+            roff = np.zeros(T + 1, np.int64)
+            np.cumsum(np.bincount(row_tile, minlength=T), out=roff[1:])
+            rowid_l = np.ascontiguousarray(
+                (grow - roff[td_s]).astype(np.int32))
+            rW = np.ascontiguousarray(W_e[eorder][newr3].astype(np.int32))
+            rv = np.ascontiguousarray(
+                vrow_e[eorder][newr3].astype(np.int32))
+            rjc = np.ascontiguousarray(
+                jcap_e[eorder][newr3].astype(np.int32))
+            r2_s = np.ascontiguousarray(r2_e[eorder].astype(np.int32))
+            v3lane = np.full(nr, -1, np.int32)
+            I32 = _ctypes.POINTER(_ctypes.c_int32)
+            I64 = _ctypes.POINTER(_ctypes.c_int64)
+            p32 = lambda a: a.ctypes.data_as(I32)
+            p64 = lambda a: a.ctypes.data_as(I64)
+            eoff_c = np.ascontiguousarray(eoff)
+            roff_c = np.ascontiguousarray(roff)
+            rc = lib.v3_route(p32(r2_s), p32(rowid_l), p64(eoff_c),
+                              p32(rW), p32(rv), p32(rjc), p64(roff_c),
+                              T, 8, p32(v3lane))
+            if rc == 0:
+                # back to `order` element order
+                lane_new = np.empty(nr, np.int64)
+                lane_new[eorder] = v3lane
+                lane = lane_new
+                v3_ok = True
+                # b2[t, c, r'] = r2 of the element with final lane c and
+                # vals row r'; unfilled slots read an r2 whose product is
+                # exactly zero (no element of color c there, so vals_z is
+                # zero — a full color has all 128 r' filled, so a free r2
+                # always exists when needed)
+                b2_v3 = np.zeros((T, Q, Q), np.int8)
+                used_dst = np.zeros((T, Q, Q), bool)     # (t, c, r')
+                used_src = np.zeros((T, Q, Q), bool)     # (t, c, r2)
+                b2_v3[td_o, lane, vrow_e] = r2_e
+                used_dst[td_o, lane, vrow_e] = True
+                used_src[td_o, lane, r2_e] = True
+                free_src = np.argmin(used_src, axis=2).astype(np.int8)
+                b2_v3 = np.where(used_dst, b2_v3, free_src[:, :, None])
+    if host_planes is not None:
+        host_planes["v3"] = v3_ok
+    if v3_meta is not None and v3_strict and not v3_ok:
+        raise V3Infeasible(f"no feasible v3 coloring at qcap={qcap}")
 
     def fill_free_slots(perm_t, used_dst, tile_of, src_of):
         """Map each tile's leftover dst slots to its leftover src slots.
@@ -442,14 +551,18 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     rowsrc[~used_row] = np.flatnonzero(~used_row)     # idle rows self-map
 
     # ---- stage-3 per-tile permutations -----------------------------------
-    # element now at (r2, lane) within dst tile td_o; must reach dp
-    src3 = r2[row_id_of_elem] * Q + lane
-    perm3 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
-    used3 = np.zeros((T, TILE), dtype=bool)
-    dp_o = dp_all[order]
-    perm3[td_o, dp_o] = src3
-    used3[td_o, dp_o] = True
-    fill_free_slots(perm3, used3, td_o, src3)
+    # element now at (r2, lane) within dst tile td_o; must reach dp.
+    # (v3 plans have no stage-3 permutation: the arrival lane IS the final
+    # color, b2 was built above, and the transposed mask-dot replaces the
+    # final transpose + b3 gather)
+    if not v3_ok:
+        src3 = r2[row_id_of_elem] * Q + lane
+        perm3 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
+        used3 = np.zeros((T, TILE), dtype=bool)
+        dp_o = dp_all[order]
+        perm3[td_o, dp_o] = src3
+        used3[td_o, dp_o] = True
+        fill_free_slots(perm3, used3, td_o, src3)
 
     # ---- per-tile G-T-G-T-G planes (batched coloring + vectorized
     # plane assembly: one C++ call for all tiles, OpenMP inside) ----------
@@ -471,25 +584,38 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
         return g1, g2, g3
 
     a1, a2, a3 = planes_for(perm1)
-    b1, b2, b3 = planes_for(perm3)
-    # fold stage 3's leading lane-gather (b1) into stage 1's trailing one
-    # (a3): stage 2 moves WHOLE rows (dest row u*Q+r reads source row
-    # rowsrc[u*Q+r] wholesale), so the per-dest-row lane permutation b1
-    # can be pre-applied to the source row before the exchange.  Each
-    # used source row has exactly ONE real consumer (g_src_row is
-    # injective); idle dest rows' self-reads may alias used source rows,
-    # but their outputs are don't-care slots, so only the real consumer's
-    # b1 matters.  The source row t*Q+s leaves stage 1 pre-gathered by
-    # beta = b1[dest_of[t*Q+s]]:
-    #   out'[s, c] = out[s, beta[c]] = z4[s, a3[s, beta[c]]]
-    dest_of = np.arange(T * Q, dtype=np.int64)
-    dest_of[g_src_row] = g_dst_row
-    beta = b1.reshape(T * Q, Q)[dest_of].astype(np.int64)
-    a3 = np.take_along_axis(
-        a3.reshape(T * Q, Q), beta, axis=1).reshape(T, Q, Q)
+    if v3_ok:
+        # stage 1 already lands every element at its final color lane
+        # (dst1 used the v3 lane), so there is no b1 to fold and no b3;
+        # b2 is the direct (color, vals-row) -> r2 map built above
+        b2, b3 = b2_v3, np.zeros((1, 1, 1), np.int8)
+    else:
+        b1, b2, b3 = planes_for(perm3)
+        # fold stage 3's leading lane-gather (b1) into stage 1's trailing
+        # one (a3): stage 2 moves WHOLE rows (dest row u*Q+r reads source
+        # row rowsrc[u*Q+r] wholesale), so the per-dest-row lane
+        # permutation b1 can be pre-applied to the source row before the
+        # exchange.  Each used source row has exactly ONE real consumer
+        # (g_src_row is injective); idle dest rows' self-reads may alias
+        # used source rows, but their outputs are don't-care slots, so
+        # only the real consumer's b1 matters.  The source row t*Q+s
+        # leaves stage 1 pre-gathered by beta = b1[dest_of[t*Q+s]]:
+        #   out'[s, c] = out[s, beta[c]] = z4[s, a3[s, beta[c]]]
+        dest_of = np.arange(T * Q, dtype=np.int64)
+        dest_of[g_src_row] = g_dst_row
+        beta = b1.reshape(T * Q, Q)[dest_of].astype(np.int64)
+        a3 = np.take_along_axis(
+            a3.reshape(T * Q, Q), beta, axis=1).reshape(T, Q, Q)
     if host_planes is not None:
         host_planes.update(a1=a1, a2=a2, a3=a3, rowsrc=rowsrc,
                            b2=b2, b3=b3)
+        if v3_ok:
+            # element placement for the producer's vals scatter / y plan:
+            # element at flat dst position dst_pos sits at (tile td,
+            # exchange row r2, final lane) when the kernel multiplies
+            host_planes["v3_elem"] = dict(
+                dst_pos=ridx[order], td=td_o,
+                r2=r2[row_id_of_elem], lane=lane)
     # index planes hold lane/sublane/color ids < 128 → int8 halves their
     # HBM traffic (they are the bulk of an engine pass's bytes); kernels
     # upcast per tile in VMEM
@@ -600,7 +726,10 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
 
 def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
                           host_planes: dict | None = None,
-                          two_level: bool = True):
+                          two_level: bool = True,
+                          qcap: int = Q,
+                          v3_meta: dict | None = None,
+                          v3_strict: bool = False):
     """Single-level when feasible (one engine pass), two-level beyond the
     ~900k cap.  Returns ``PermutationPlan`` or ``TwoLevelPlan``; both are
     accepted by :func:`apply_permutation`.  ``host_planes`` is filled
@@ -617,7 +746,9 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
         # skip the (expensive) downward feasibility search entirely
         return plan_permutation_two_level(perm)
     try:
-        return plan_permutation(perm, slack=slack, host_planes=host_planes)
+        return plan_permutation(perm, slack=slack, host_planes=host_planes,
+                                qcap=qcap, v3_meta=v3_meta,
+                                v3_strict=v3_strict)
     except ValueError:
         if not two_level:
             raise
