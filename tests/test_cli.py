@@ -91,6 +91,21 @@ def test_cli_solve_cg(capsys):
     assert solve and solve[0]["converged"] and solve[0]["rel_residual"] < 1e-5
 
 
+def test_cli_solve_chebcg(capsys):
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "laplacian:12", "--formats", "csr",
+               "--iters", "3", "--no-check", "--solve", "chebcg",
+               "--tol", "1e-6", "--json"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    import json as _json
+
+    recs = [_json.loads(l) for l in lines if l.startswith("{")]
+    solve = [r for r in recs if r.get("solver") == "chebcg"]
+    assert solve and solve[0]["converged"] and solve[0]["rel_residual"] < 1e-5
+
+
 @pytest.mark.parametrize("solver", ["bicgstab", "gmres"])
 def test_cli_solve_nonsym(capsys, solver):
     from tpu_spmv.cli import main

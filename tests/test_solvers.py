@@ -65,6 +65,63 @@ def test_power_iteration(spd):
     np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-4)
 
 
+def test_chebyshev_solves_laplacian(spd, rng):
+    from scipy.sparse.linalg import eigsh
+    from tpu_spmv.solvers import chebyshev
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    lmax = float(eigsh(spd, k=1, which="LM",
+                       return_eigenvectors=False)[0]) * 1.01
+    lmin = float(eigsh(spd, k=1, which="SM",
+                       return_eigenvectors=False)[0]) * 0.99
+    res = chebyshev(A, jnp.asarray(b), lmin=lmin, lmax=lmax,
+                    tol=1e-10, maxiter=5000)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(spd.toarray(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_chebyshev_bad_interval(spd):
+    from tpu_spmv.solvers import chebyshev
+
+    with pytest.raises(ValueError, match="lmin"):
+        chebyshev(ts.convert(ts.COO.from_scipy(spd), "csr"),
+                  jnp.ones(spd.shape[0]), lmin=-1.0, lmax=2.0)
+
+
+def test_chebyshev_preconditioner_cuts_cg_iterations(spd, rng):
+    from tpu_spmv.solvers import chebyshev_preconditioner
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    plain = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    pre = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000,
+             precond=chebyshev_preconditioner(A, degree=4))
+    assert bool(pre.converged)
+    # degree-4 polynomial must cut CG's (reduction-bearing) iterations
+    # by well over the 4x SpMV cost it adds — the reduction trade
+    assert int(pre.iterations) * 2 < int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(pre.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_chebyshev_matvec_closure(spd, rng):
+    from scipy.sparse.linalg import eigsh
+    from tpu_spmv.solvers import chebyshev
+
+    A = ts.convert(ts.COO.from_scipy(spd), "dia")
+    b = rng.standard_normal(spd.shape[0])
+    lmax = float(eigsh(spd, k=1, which="LM",
+                       return_eigenvectors=False)[0]) * 1.01
+    res = chebyshev(lambda v: ts.spmv(A, v), jnp.asarray(b),
+                    lmin=lmax / 200.0, lmax=lmax, tol=1e-8, maxiter=8000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(spd @ np.asarray(res.x), b, rtol=1e-5,
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("kind", ["allgather", "halo"])
 def test_dist_cg(spd, rng, kind):
     mesh = dist.make_mesh(8)

@@ -81,13 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve",
-                   choices=["cg", "pcg", "bicgstab", "gmres", "power"],
+                   choices=["cg", "pcg", "chebcg", "bicgstab", "gmres",
+                            "power"],
                    default=None,
-                   help="run a solver on the matrix (cg / Jacobi-pcg need "
-                        "SPD; bicgstab / gmres handle general square "
-                        "matrices; power = dominant eigenpair) on a "
-                        "synthetic right-hand side and report iterations "
-                        "+ residual + wall time")
+                   help="run a solver on the matrix (cg / Jacobi-pcg / "
+                        "Chebyshev-polynomial-pcg need SPD; bicgstab / "
+                        "gmres handle general square matrices; power = "
+                        "dominant eigenpair) on a synthetic right-hand "
+                        "side and report iterations + residual + wall "
+                        "time")
     p.add_argument("--tol", type=float, default=1e-6,
                    help="solver convergence tolerance (with --solve)")
     p.add_argument("--seed", type=int, default=0)
@@ -286,14 +288,20 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             rng_b = _np.random.default_rng(args.seed + 1)
             b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)
             precond = None
-            if args.solve == "pcg":
+            if args.solve in ("pcg", "chebcg"):
                 # Jacobi from the HOST diagonal: packed strategy formats
                 # don't support the convert() the format-based helper uses
                 d = np.asarray(host_mat.diagonal(), dtype=np.float64)
                 inv = jnp.asarray(
                     np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0),
                     dtype=dtype)
-                precond = lambda r: inv * r
+                if args.solve == "chebcg":
+                    from .solvers import chebyshev_preconditioner
+
+                    precond = chebyshev_preconditioner(
+                        matvec, dinv=inv, n=coo.shape[0])
+                else:
+                    precond = lambda r: inv * r
             if args.solve == "bicgstab":
                 res = bicgstab(matvec, b, tol=args.tol, maxiter=10_000,
                                precond=precond)

@@ -2,12 +2,14 @@
 reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
 
 from .cg import CGResult, cg, jacobi_preconditioner, power_iteration
+from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
 from .dist_cg import DistCGResult, dist_cg
 from .krylov import KrylovResult, bicgstab, gmres
 from .lsqr import LSQRResult, lsqr
 from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 
 __all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
+           "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
            "DistCGResult", "dist_cg",
            "KrylovResult", "bicgstab", "gmres",
            "LSQRResult", "lsqr",
