@@ -128,11 +128,53 @@ def test_gpr_chunked():
     mat = utils.random_sparse(2500, 2000, 0.04, seed=101).astype(np.float32)
     A = gpr.pack_gpr_chunked(mat, chunk_nnz=50_000)
     assert len(A.chunks) >= 3
+    # uniform chunks share the stage-1 tile fill -> the fold must engage
+    assert A.fold is not None
+    assert len(A.fold.tile_counts) == len(A.chunks)
     x = jnp.asarray(np.random.default_rng(1).random(2000), jnp.float32)
     y = gpr.spmv_gpr_chunked(A, x, interpret=True)
     ref = mat @ np.asarray(x, np.float64)
     rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5
+    # the unfolded per-chunk path must agree bitwise-closely with itself
+    # and with the oracle (guards the fold's composed y permutation)
+    import dataclasses
+
+    y2 = gpr.spmv_gpr_chunked(dataclasses.replace(A, fold=None), x,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_gpr_chunked_fold_power_law():
+    # hub-split virtual rows per chunk must fold through the ONE global
+    # segment-sum (owners rebased to global rows, sorted)
+    mat = utils.power_law(3000, 3000, 12, seed=7).tocsr().astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=15_000)
+    assert len(A.chunks) >= 2 and A.fold is not None
+    assert A.fold.nv > 0          # power-law hubs -> virtual rows exist
+    x = jnp.asarray(np.random.default_rng(2).random(3000), jnp.float32)
+    y = gpr.spmv_gpr_chunked(A, x, interpret=True)
+    ref = mat @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5
+
+
+def test_gpr_chunked_fold_checkpoint_roundtrip(tmp_path):
+    from tpu_spmv.io import checkpoint
+
+    mat = utils.random_sparse(1500, 1200, 0.03, seed=31).astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=20_000)
+    assert A.fold is not None
+    p = tmp_path / "chunked_fold.npz"
+    checkpoint.save_matrix(p, A)
+    A2 = checkpoint.load_matrix(p)
+    assert A2.fold is not None and A2.fold.rp128 == A.fold.rp128
+    x = jnp.asarray(np.random.default_rng(3).random(1200), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(gpr.spmv_gpr_chunked(A2, x, interpret=True)),
+        np.asarray(gpr.spmv_gpr_chunked(A, x, interpret=True)),
+        rtol=1e-6, atol=1e-7)
 
 
 def test_gpr_chunked_single_chunk():

@@ -34,11 +34,11 @@ def _classes():
     from .. import formats as _formats
     from ..kernels.dia_stream import PSDIA, SDIA
     from ..kernels.ell_pallas import PackedELL
-    from ..kernels.gpr import GPCSR, GPCSRChunked
+    from ..kernels.gpr import GPCSR, GPCSRChunked, ChunkFold
     from ..kernels.permute import PermutationPlan, TwoLevelPlan
 
     out = {cls.__name__: cls for cls in set(_formats.FORMATS.values())}
-    for cls in (PackedELL, GPCSR, GPCSRChunked, PermutationPlan,
+    for cls in (PackedELL, GPCSR, GPCSRChunked, ChunkFold, PermutationPlan,
                 TwoLevelPlan, SDIA, PSDIA):
         out[cls.__name__] = cls
     return out

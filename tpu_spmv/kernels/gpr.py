@@ -159,7 +159,8 @@ def supports(shape, nnz, *, chunked: bool = True) -> bool:
 def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
              targets: dict | None = None,
              padded_y: bool = False,
-             single_level_only: bool = False) -> GPCSR:
+             single_level_only: bool = False,
+             host_out: dict | None = None) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline.
 
     ``targets`` forces the pack's static layout to given sizes so that
@@ -175,6 +176,11 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     (class_tiles rows entries become capacities) and folds the compaction
     into the y permutation instead — the per-shard *values* of that plan
     differ, its shape does not.
+
+    ``host_out``, when a dict, is filled with the HOST-side pieces the
+    chunk-fold of :func:`pack_gpr_chunked` needs (stage-1 operand numpy
+    arrays, the y-reorder source positions, hub owners) — so the fold is
+    assembled without ever reading device leaves back through the tunnel.
     """
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
@@ -469,6 +475,17 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
             vflat = np.zeros(nv2, dtype=vals_ps.dtype)
             vflat[: vals_ps.size] = vals_ps.reshape(-1)
             vals_store = vflat.reshape(plan.ntiles, rp128, LANES)
+        if host_out is not None:
+            # the stage-1 operands, host-side, tile-aligned — what the
+            # chunk-fold concatenates (values in gseg/glidx index the
+            # GLOBAL x2d, so concatenation needs no rebasing)
+            ns_need = plan.ntiles * rp128
+            host_out["s1"] = dict(
+                gseg=np.asarray(gseg[:ns_need]),
+                glidx=np.asarray(glidx[:ns_need]),
+                a2=np.asarray(hp["a2"], dtype=np.int8),
+                a3=np.asarray(hp["a3"], dtype=np.int8),
+                rp128=int(rp128), T=int(plan.ntiles))
         plan = dataclasses.replace(plan, a1=jnp.zeros((1, 1, 1), jnp.int8))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
@@ -500,6 +517,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         rows_j[miss] = free_j                      # counts match per group
         new_pos = cstart[cls] + vrl * k_all + rows_j
         yplan = _perm.plan_permutation_auto(new_pos)
+        if host_out is not None:
+            host_out["y_pos"] = new_pos
     elif padded_y:
         # padded class-capacity space -> natural rows: the compaction the
         # non-padded path does with static slicing lives HERE, in the plan
@@ -517,6 +536,13 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                  else _perm.plan_permutation_auto(perm_y))
     elif not np.array_equal(row_order, np.arange(nrow)):
         yplan = _perm.plan_permutation_auto(sorted_pos)
+        if host_out is not None:
+            host_out["y_pos"] = sorted_pos
+    if host_out is not None:
+        host_out.setdefault("y_pos", None)      # identity reorder
+        host_out["hub_owner"] = hub_owner
+        host_out["nrow_internal"] = int(nrow)
+        host_out["nrow_logical"] = int(nrow_logical)
 
     return GPCSR(
         gseg=jnp.asarray(gseg),
@@ -571,16 +597,17 @@ def _fused_gather_s1_kernel(gseg_ref, glidx_ref, x_ref, a2_ref,
     o_ref[0] = _perm._tgtg(z, a2_ref[0], a3_ref[0])
 
 
-def _run_stage1_fused(A: GPCSR, x2d: jax.Array, *,
-                      interpret: bool = False) -> jax.Array:
-    """The fused gather + permutation-stage-1 launch: ``x2d [S, 128]`` →
-    ``z [T, 128, 128]`` (also used standalone by the stage profiler)."""
-    plan = A.plan
-    rp128 = plan.real_per_tile // LANES
-    T = plan.ntiles
+def _stage1_call(gseg, glidx, x2d, a2, a3, *, rp128: int, dtype,
+                 interpret: bool = False) -> jax.Array:
+    """One fused gather+stage-1 launch over ``a2.shape[0]`` tiles.  The
+    operands may belong to ONE pack or be the tile-axis concatenation of
+    several packs sharing ``rp128`` (the chunk-fold): gseg/glidx index
+    the global x2d, so tile t of the combined grid is exactly tile t of
+    its owning pack."""
+    T = int(a2.shape[0])
     return pl.pallas_call(
         functools.partial(_fused_gather_s1_kernel, rp128=rp128),
-        out_shape=jax.ShapeDtypeStruct((T, LANES, LANES), A.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, LANES, LANES), dtype),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # gseg
@@ -595,7 +622,17 @@ def _run_stage1_fused(A: GPCSR, x2d: jax.Array, *,
         out_specs=pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(A.gseg, A.glidx, x2d, plan.a2, plan.a3)
+    )(gseg, glidx, x2d, a2, a3)
+
+
+def _run_stage1_fused(A: GPCSR, x2d: jax.Array, *,
+                      interpret: bool = False) -> jax.Array:
+    """The fused gather + permutation-stage-1 launch: ``x2d [S, 128]`` →
+    ``z [T, 128, 128]`` (also used standalone by the stage profiler)."""
+    plan = A.plan
+    return _stage1_call(A.gseg, A.glidx, x2d, plan.a2, plan.a3,
+                        rp128=plan.real_per_tile // LANES,
+                        dtype=A.vals.dtype, interpret=interpret)
 
 
 def _mask16(dtype):
@@ -1103,15 +1140,47 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
 
 
 @sparse_dataclass
+class ChunkFold:
+    """Cross-chunk fused operands (built when every chunk of a
+    :class:`GPCSRChunked` is a single-block fused pack with the SAME
+    stage-1 tile fill).  Collapses the per-chunk fixed launch costs:
+
+    - stage 1 runs as ONE pallas call over the concatenated tile axis
+      (gseg/glidx index the global x2d — no rebasing), instead of one
+      launch per chunk;
+    - the per-chunk y reorders (2 launches each) compose into ONE global
+      permutation over the concatenated class-sorted outputs, and the
+      per-chunk hub folds into ONE segment-sum.
+
+    Stage 2/3 stays per chunk: its exchange needs the chunk's whole z
+    VMEM-resident, which is exactly the chunking cap.
+    """
+
+    gseg: jax.Array      # [sum_T*rp128] int32 — x2d row per gather sublane
+    glidx: jax.Array     # [sum_T*rp128, 128] int8
+    a2: jax.Array        # [sum_T, 128, 128] int8
+    a3: jax.Array
+    yplan: object        # PermutationPlan | TwoLevelPlan | None
+    hub_owner: object    # [nv] int32 global owner rows, or None
+    rp128: int = static_field()
+    tile_counts: tuple = static_field()      # T per chunk
+    sorted_lens: tuple = static_field()      # internal rows per chunk
+    nv: int = static_field(default=0)
+
+
+@sparse_dataclass
 class GPCSRChunked:
     """Row-block-chunked GPR matrix: each chunk owns <= MAX_NNZ entries and
     its own permutation plan; chunk outputs concatenate (row blocks are
-    contiguous).  Lifts the single-level routing cap to arbitrary nnz."""
+    contiguous).  Lifts the single-level routing cap to arbitrary nnz.
+    ``fold`` (when present) carries the cross-chunk fused operands that
+    collapse per-chunk launch overhead — see :class:`ChunkFold`."""
 
     chunks: tuple        # tuple of GPCSR (pytree children)
     shape: tuple[int, int] = static_field()
     nnz: int = static_field()
     row_splits: tuple[int, ...] = static_field()
+    fold: object = None  # ChunkFold | None
 
     @property
     def dtype(self):
@@ -1146,21 +1215,24 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
 
     def pack_block(lo, hi, depth=0):
         last = hi - lo <= 1 or depth >= 4
+        ho: dict = {}
         try:
             # fail BEFORE any coloring/upload when the block needs
             # two-level routing (the feasibility search is pure budget
             # arithmetic) — splitting is cheaper than a discarded pack
             p = pack_gpr(csr[lo:hi], dtype=dtype,
-                         single_level_only=not last)
+                         single_level_only=not last, host_out=ho)
         except ValueError:
             if last:
                 raise
             mid = cut(lo, max((int(indptr[hi]) - int(indptr[lo])) // 2, 1))
             if mid >= hi:
-                return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype))]
+                ho = {}
+                return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype,
+                                          host_out=ho), ho)]
             return (pack_block(lo, mid, depth + 1)
                     + pack_block(mid, hi, depth + 1))
-        return [(lo, hi, p)]
+        return [(lo, hi, p, ho)]
 
     blocks = []
     lo = 0
@@ -1168,22 +1240,138 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         hi = cut(lo, chunk_nnz)
         blocks.extend(pack_block(lo, hi))
         lo = hi
-    splits = [0] + [hi for (_, hi, _) in blocks]
-    chunks = [p for (_, _, p) in blocks]
+    splits = [0] + [hi for (_, hi, _, _) in blocks]
+    chunks = [p for (_, _, p, _) in blocks]
+    fold = _build_chunk_fold(blocks, nrow) if len(blocks) > 1 else None
     return GPCSRChunked(
         chunks=tuple(chunks),
         shape=(int(nrow), int(ncol)),
         nnz=nnz,
         row_splits=tuple(splits),
+        fold=fold,
+    )
+
+
+def _build_chunk_fold(blocks, nrow: int):
+    """Assemble the :class:`ChunkFold` from the packs' host_out pieces —
+    pure host numpy (never reads device leaves back).  Returns None when
+    any chunk is ineligible: non-fused (two-level plan or column-blocked
+    gather), carrying a side path, or with a stage-1 tile fill different
+    from the first chunk's (the concatenated grid needs ONE static
+    rp128)."""
+    pcs = [p for (_, _, p, _) in blocks]
+    hos = [h for (_, _, _, h) in blocks]
+    if not all(p.fused and not p.col_blocks and p.side.nnz == 0
+               and p.side_gpr is None and "s1" in h
+               for p, h in zip(pcs, hos)):
+        return None
+    rp128 = hos[0]["s1"]["rp128"]
+    if any(h["s1"]["rp128"] != rp128 for h in hos):
+        return None
+
+    # ---- global y reorder: concat(class-sorted chunk outputs) ->
+    # [natural global rows..., all chunks' virtual hub rows...] ----------
+    nint = [h["nrow_internal"] for h in hos]
+    soff = np.zeros(len(nint) + 1, dtype=np.int64)
+    np.cumsum(nint, out=soff[1:])
+    nv_total = int(sum(len(h["hub_owner"]) for h in hos))
+    gperm = np.empty(nrow + nv_total, dtype=np.int64)
+    owners = []
+    vbase = nrow
+    for (lo, hi, _, _), h, off in zip(blocks, hos, soff[:-1]):
+        nreal = hi - lo
+        pos = h["y_pos"]
+        if pos is None:
+            pos = np.arange(h["nrow_internal"], dtype=np.int64)
+        gperm[lo:hi] = off + pos[:nreal]
+        nv_c = len(h["hub_owner"])
+        if nv_c:
+            gperm[vbase:vbase + nv_c] = off + pos[nreal:]
+            owners.append(h["hub_owner"].astype(np.int32) + lo)
+            vbase += nv_c
+    yplan = (None if np.array_equal(gperm, np.arange(len(gperm)))
+             else _perm.plan_permutation_auto(gperm))
+
+    return ChunkFold(
+        gseg=jnp.asarray(np.concatenate([h["s1"]["gseg"] for h in hos])),
+        glidx=jnp.asarray(np.concatenate([h["s1"]["glidx"] for h in hos])),
+        a2=jnp.asarray(np.concatenate([h["s1"]["a2"] for h in hos])),
+        a3=jnp.asarray(np.concatenate([h["s1"]["a3"] for h in hos])),
+        yplan=yplan,
+        hub_owner=(jnp.asarray(np.concatenate(owners)) if owners else None),
+        rp128=int(rp128),
+        tile_counts=tuple(int(h["s1"]["T"]) for h in hos),
+        sorted_lens=tuple(int(n) for n in nint),
+        nv=nv_total,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_gpr_chunked(A: GPCSRChunked, x: jax.Array, *,
                      interpret: bool = False) -> jax.Array:
-    """``A @ x`` over row chunks; outputs concatenate in row order."""
+    """``A @ x`` over row chunks; outputs concatenate in row order.
+
+    With a :class:`ChunkFold` the launch count drops from ~4 per chunk
+    (stage 1, stage 2/3, y-reorder x2) to ``nchunks + 3`` total: one
+    concatenated stage-1 grid, one stage-2/3 per chunk (its exchange
+    needs the chunk's z VMEM-resident — that IS the chunking cap), one
+    composed global y permutation, one global hub fold."""
+    if A.fold is not None:
+        return _spmv_chunked_folded(A, x, interpret=interpret)
     parts = [spmv_gpr(c, x, interpret=interpret) for c in A.chunks]
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _spmv_chunked_folded(A: GPCSRChunked, x: jax.Array, *,
+                         interpret: bool = False) -> jax.Array:
+    fold: ChunkFold = A.fold
+    nrow, ncol = A.shape
+    S = -(-ncol // LANES)
+    dtype = A.dtype
+    xpad = jnp.pad(x, (0, S * LANES - ncol)) if S * LANES != ncol else x
+    x2d = xpad.reshape(S, LANES).astype(dtype)
+
+    # ONE gather+stage-1 launch over the concatenated tile axis
+    z_all = _stage1_call(fold.gseg, fold.glidx, x2d, fold.a2, fold.a3,
+                         rp128=fold.rp128, dtype=dtype,
+                         interpret=interpret)
+
+    # per-chunk exchange + stage-3 + mask-dot reduce (z slice stays on
+    # device; the slice boundaries are static)
+    sorted_parts = []
+    off = 0
+    for c, T_c, n_int in zip(A.chunks, fold.tile_counts,
+                             fold.sorted_lens):
+        z_c = lax.slice_in_dim(z_all, off, off + T_c)
+        off += T_c
+        P = _run_s23_reduce_fused(c, z_c, interpret=interpret)
+        rp128 = c.plan.real_per_tile // LANES
+        parts = _combine_partials(
+            P.reshape(c.plan.ntiles * rp128, 16), c.class_tiles)
+        y_c = (jnp.concatenate(parts) if len(parts) > 1
+               else (parts[0] if parts else jnp.zeros(n_int, dtype)))
+        if y_c.shape[0] < n_int:
+            y_c = jnp.pad(y_c, (0, n_int - y_c.shape[0]))
+        sorted_parts.append(y_c)
+    y_sorted = (jnp.concatenate(sorted_parts) if len(sorted_parts) > 1
+                else sorted_parts[0])
+
+    # ONE composed y reorder (class-sorted chunk concat -> natural global
+    # rows, virtual hub rows at the tail), then ONE global hub fold
+    if fold.yplan is not None:
+        y = _perm.apply_permutation(fold.yplan, y_sorted,
+                                    interpret=interpret)
+    else:
+        y = y_sorted
+    if fold.nv:
+        # per-chunk owners are sorted and chunks are ascending row
+        # blocks, so the concatenated owners stay globally sorted
+        y = y[:nrow] + jax.ops.segment_sum(
+            y[nrow:nrow + fold.nv], fold.hub_owner, num_segments=nrow,
+            indices_are_sorted=True)
+    else:
+        y = y[:nrow]
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
