@@ -135,3 +135,24 @@ def test_cli_solve_power(capsys):
     pw = [r for r in recs if r.get("solver") == "power"]
     # 2-D Laplacian spectrum tops out just below 8
     assert pw and 6.0 < pw[0]["eigenvalue"] <= 8.0
+
+
+def test_cli_drops_explosive_formats():
+    # a single 50k-entry hub row makes ELL width 50k -> ~120 GiB; the
+    # sweep must skip ELL (and keep CSR) instead of allocating it
+    import scipy.sparse as sp
+
+    from tpu_spmv.cli import _drop_explosive_formats
+
+    n = 200_000
+    hub = sp.coo_matrix(
+        (np.ones(50_000), (np.zeros(50_000, np.int64),
+                           np.arange(50_000, dtype=np.int64))),
+        shape=(n, n))
+    kept = _drop_explosive_formats(["csr", "ell", "dia", "coo"], hub, 8)
+    assert kept == ["csr", "coo"]   # DIA: 50k diagonals x 200k rows -> out
+    # a benign banded matrix keeps everything
+    from tpu_spmv import utils
+
+    band = utils.banded(500, bandwidth=3).tocoo()
+    assert _drop_explosive_formats(["ell", "dia"], band, 8) == ["ell", "dia"]

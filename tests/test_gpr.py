@@ -136,12 +136,24 @@ def test_gpr_chunked():
     ref = mat @ np.asarray(x, np.float64)
     rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5
+    # fold-owning packs keep ONE copy of the stage-1 planes (ADVICE r2):
+    # every chunk's gseg/glidx/a2/a3 must be zero-size stubs
+    for c in A.chunks:
+        assert c.gseg.size == 0 and c.glidx.size == 0
+        assert c.plan.a2.shape[1:] == (1, 1) and c.plan.a3.size == 1
+    # ... and running a stubbed chunk standalone fails loudly
+    with pytest.raises(ValueError, match="ChunkFold"):
+        gpr.spmv_gpr(A.chunks[0], x, interpret=True)
     # the unfolded per-chunk path must agree bitwise-closely with itself
-    # and with the oracle (guards the fold's composed y permutation)
+    # and with the oracle (guards the fold's composed y permutation);
+    # rehydrate the chunks from the fold's planes first
     import dataclasses
 
-    y2 = gpr.spmv_gpr_chunked(dataclasses.replace(A, fold=None), x,
-                              interpret=True)
+    rehydrated = tuple(gpr._chunk_with_fold_s1(A.fold, c, i)
+                       for i, c in enumerate(A.chunks))
+    y2 = gpr.spmv_gpr_chunked(
+        dataclasses.replace(A, fold=None, chunks=rehydrated), x,
+        interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
                                rtol=1e-6, atol=1e-7)
 
@@ -175,6 +187,19 @@ def test_gpr_chunked_fold_checkpoint_roundtrip(tmp_path):
         np.asarray(gpr.spmv_gpr_chunked(A2, x, interpret=True)),
         np.asarray(gpr.spmv_gpr_chunked(A, x, interpret=True)),
         rtol=1e-6, atol=1e-7)
+
+
+def test_gpr_chunked_spmm_fold():
+    # SpMM on a fold-owning pack: the chunks carry stage-1 stubs, so
+    # spmm_gpr_chunked must rebuild them as fold slices in-jit
+    mat = utils.random_sparse(1200, 1000, 0.03, seed=55).astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=12_000)
+    assert A.fold is not None and all(c.gseg.size == 0 for c in A.chunks)
+    X = np.random.default_rng(9).random((1000, 3)).astype(np.float32)
+    Y = gpr.spmm_gpr_chunked(A, jnp.asarray(X), interpret=True)
+    ref = mat @ X.astype(np.float64)
+    rel = np.max(np.abs(np.asarray(Y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5
 
 
 def test_gpr_chunked_single_chunk():

@@ -89,14 +89,23 @@ def spmv_bytes(A, x_dtype=None) -> int:
     from ..kernels.gpr import GPCSR, GPCSRChunked
 
     if isinstance(A, GPCSRChunked):
-        return sum(spmv_bytes(c, x_dtype) for c in A.chunks) + vec
+        total = sum(spmv_bytes(c, x_dtype) for c in A.chunks) + vec
+        if A.fold is not None:
+            # fold-owning packs keep the stage-1 planes ONLY in the fold
+            # (per-chunk gseg/glidx/a2/a3 are zero-size stubs)
+            total += sum(int(p.size) * p.dtype.itemsize
+                         for p in (A.fold.gseg, A.fold.glidx,
+                                   A.fold.a2, A.fold.a3))
+        return total
     if isinstance(A, GPCSR):
         plane_bytes = sum(
             int(p.size) * p.dtype.itemsize
             for p in (A.plan.a1, A.plan.a2, A.plan.a3,
                       A.plan.b2, A.plan.b3)
         )
-        total = (A.vals.size * val + A.glidx.size * 4 + plane_bytes
+        total = (A.vals.size * val
+                 + A.glidx.size * A.glidx.dtype.itemsize  # int8 lane ids
+                 + A.gseg.size * 4 + plane_bytes
                  + A.vals.size * val)          # gathered+permuted temps
         if A.side_gpr is not None:
             total += spmv_bytes(A.side_gpr, x_dtype)

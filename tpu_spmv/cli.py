@@ -98,6 +98,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+#: cap on a dense-expanding format's projected STORAGE in the sweep.
+#: ELL width = max row nnz and DIA stores every occupied diagonal whole,
+#: so a power-law matrix expands 1000x+ (powerlaw:65536,16 hits ELL width
+#: ~7.7k).  The cap is 1 GiB — far below the 16 GB HBM — because the
+#: kernels' intermediates amplify storage further: XLA tiles the minor
+#: dimension to 128 lanes, so an ELL SpMM at nrhs=4 materializes
+#: [nrow*width, 4] as [nrow*width, 128] physically (measured: a 3.8 GiB
+#: ELL pack compiled to a 259 GB allocation and killed the sweep).
+_DENSE_CAP_BYTES = 1 << 30
+
+
+def _drop_explosive_formats(formats, host_mat, itemsize):
+    """Filter sweep formats whose dense expansion cannot fit on device.
+
+    The reference would happily construct these and OOM/thrash
+    (`/root/reference/src/matrix.cpp:450-500` allocates nrow*width with no
+    bound); skipping with a message is the deliberate fix."""
+    nrow, _ = host_mat.shape
+    nnz = host_mat.nnz
+    if nnz == 0:
+        return formats
+    row = np.asarray(host_mat.row, dtype=np.int64)
+    col = np.asarray(host_mat.col, dtype=np.int64)
+    keep = []
+    for name in formats:
+        est = None
+        if name == "ell":
+            width = int(np.bincount(row, minlength=nrow).max())
+            est = nrow * width * (itemsize + 4)      # data + int32 col idx
+        elif name == "dia":
+            ndiags = len(np.unique(col - row))
+            est = ndiags * nrow * itemsize
+        if est is not None and est > _DENSE_CAP_BYTES:
+            print(f"tpu_spmv: skipping {name.upper()} — dense expansion "
+                  f"needs ~{est / 2**30:.1f} GiB on device "
+                  f"(cap {_DENSE_CAP_BYTES >> 30} GiB; nnz={nnz}, "
+                  f"{est / max(nnz * itemsize, 1):.0f}x the nonzeros)",
+                  file=sys.stderr)
+            continue
+        keep.append(name)
+    return keep
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -145,6 +188,8 @@ def main(argv=None) -> int:
         raise SystemExit(
             f"tpu_spmv: unknown format(s) {unknown}; valid: {sorted(FORMATS)}"
         )
+    formats = _drop_explosive_formats(formats, host_mat,
+                                      np.dtype(dtype).itemsize)
 
     import contextlib
 

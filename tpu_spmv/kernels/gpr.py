@@ -160,7 +160,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
              targets: dict | None = None,
              padded_y: bool = False,
              single_level_only: bool = False,
-             host_out: dict | None = None) -> GPCSR:
+             host_out: dict | None = None,
+             defer_s1: bool = False) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline.
 
     ``targets`` forces the pack's static layout to given sizes so that
@@ -181,6 +182,14 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     chunk-fold of :func:`pack_gpr_chunked` needs (stage-1 operand numpy
     arrays, the y-reorder source positions, hub owners) — so the fold is
     assembled without ever reading device leaves back through the tunnel.
+
+    ``defer_s1`` (chunk-fold internal): on a fused pack, do NOT upload
+    the stage-1 operands (gseg/glidx/a2/a3) — leave zero-size stubs on
+    the GPCSR and carry the planes only in ``host_out["s1"]``.  The
+    caller either concatenates them into a :class:`ChunkFold` (whose
+    folded pipelines are then the only stage-1 consumers — the per-chunk
+    copies would double the stage-1 HBM/disk footprint, ADVICE r2) or
+    rehydrates the chunk via :func:`_rehydrate_s1` when no fold engages.
     """
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
@@ -487,6 +496,15 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                 a3=np.asarray(hp["a3"], dtype=np.int8),
                 rp128=int(rp128), T=int(plan.ntiles))
         plan = dataclasses.replace(plan, a1=jnp.zeros((1, 1, 1), jnp.int8))
+        if defer_s1 and host_out is not None:
+            # stage-1 planes live only in host_out["s1"] for now; the
+            # a2 stub keeps its tile axis so plan.ntiles stays correct
+            gseg = np.zeros(0, dtype=np.int32)
+            glidx = np.zeros((0, LANES), dtype=np.int8)
+            plan = dataclasses.replace(
+                plan,
+                a2=jnp.zeros((plan.ntiles, 1, 1), jnp.int8),
+                a3=jnp.zeros((1, 1, 1), jnp.int8))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
@@ -735,10 +753,21 @@ def _reduce_all_classes(vals, g3, class_tiles, interpret):
     return parts
 
 
+def _check_s1_present(A: GPCSR, op: str) -> None:
+    """Trace-time guard: a chunk whose stage-1 planes were deferred into
+    its parent :class:`GPCSRChunked`'s fold cannot run standalone."""
+    if A.fused and A.plan.ntiles > 0 and int(A.gseg.shape[0]) == 0:
+        raise ValueError(
+            f"{op}: this GPCSR's stage-1 planes live in its parent "
+            "GPCSRChunked's ChunkFold (defer_s1 pack); call the chunked "
+            "entry points (spmv_gpr_chunked / spmm_gpr_chunked) instead")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_gpr(A: GPCSR, x: jax.Array, *, interpret: bool = False) -> jax.Array:
     """``A @ x`` via gather -> permute -> per-class reduce -> y reorder
     (plus the virtual-row fold for hub-split packs)."""
+    _check_s1_present(A, "spmv_gpr")
     nrow_l, ncol = A.shape
     nrow = nrow_l + A.nv           # internal row space incl. virtual rows
     S = -(-ncol // LANES)
@@ -1102,6 +1131,7 @@ def spmm_gpr(A: GPCSR, X: jax.Array, *, interpret: bool = False
     Falls back to the mapped per-rhs pipeline when the pack is not
     stage-1-fusable (two-level plans).
     """
+    _check_s1_present(A, "spmm_gpr")
     nrhs = int(X.shape[1])
     if not A.fused:
         # the mapped per-rhs SpMVs already include side/side_gpr — return
@@ -1219,9 +1249,12 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         try:
             # fail BEFORE any coloring/upload when the block needs
             # two-level routing (the feasibility search is pure budget
-            # arithmetic) — splitting is cheaper than a discarded pack
+            # arithmetic) — splitting is cheaper than a discarded pack.
+            # Stage-1 planes stay host-side (defer_s1): uploaded ONCE,
+            # either concatenated into the fold or rehydrated per chunk.
             p = pack_gpr(csr[lo:hi], dtype=dtype,
-                         single_level_only=not last, host_out=ho)
+                         single_level_only=not last, host_out=ho,
+                         defer_s1=True)
         except ValueError:
             if last:
                 raise
@@ -1229,7 +1262,7 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
             if mid >= hi:
                 ho = {}
                 return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype,
-                                          host_out=ho), ho)]
+                                          host_out=ho, defer_s1=True), ho)]
             return (pack_block(lo, mid, depth + 1)
                     + pack_block(mid, hi, depth + 1))
         return [(lo, hi, p, ho)]
@@ -1241,8 +1274,13 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         blocks.extend(pack_block(lo, hi))
         lo = hi
     splits = [0] + [hi for (_, hi, _, _) in blocks]
-    chunks = [p for (_, _, p, _) in blocks]
     fold = _build_chunk_fold(blocks, nrow) if len(blocks) > 1 else None
+    if fold is None:
+        # no fold -> the per-chunk pipelines are the consumers: upload
+        # the deferred stage-1 planes now (single upload either way)
+        chunks = [_rehydrate_s1(p, ho) for (_, _, p, ho) in blocks]
+    else:
+        chunks = [p for (_, _, p, _) in blocks]
     return GPCSRChunked(
         chunks=tuple(chunks),
         shape=(int(nrow), int(ncol)),
@@ -1250,6 +1288,18 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         row_splits=tuple(splits),
         fold=fold,
     )
+
+
+def _rehydrate_s1(c: GPCSR, ho: dict) -> GPCSR:
+    """Upload a defer_s1 pack's stage-1 planes from its host_out dict
+    (used when no :class:`ChunkFold` engages to own them)."""
+    if not c.fused or "s1" not in ho or int(c.gseg.shape[0]) != 0:
+        return c
+    s1 = ho["s1"]
+    return dataclasses.replace(
+        c, gseg=jnp.asarray(s1["gseg"]), glidx=jnp.asarray(s1["glidx"]),
+        plan=dataclasses.replace(c.plan, a2=jnp.asarray(s1["a2"]),
+                                 a3=jnp.asarray(s1["a3"])))
 
 
 def _build_chunk_fold(blocks, nrow: int):
@@ -1377,6 +1427,32 @@ def _spmv_chunked_folded(A: GPCSRChunked, x: jax.Array, *,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spmm_gpr_chunked(A: GPCSRChunked, X: jax.Array, *,
                      interpret: bool = False) -> jax.Array:
-    """``A @ X`` over row chunks (each chunk runs the batched pipeline)."""
-    parts = [spmm_gpr(c, X, interpret=interpret) for c in A.chunks]
+    """``A @ X`` over row chunks (each chunk runs the batched pipeline).
+
+    Fold-owning packs keep ONE copy of the stage-1 planes (in the fold —
+    ADVICE r2); each chunk's slice is re-materialized here by static
+    ``lax.slice_in_dim`` (a transient in-jit copy, ~µs against the ms
+    SpMM, never persisted in HBM or checkpoints)."""
+    chunks = (A.chunks if A.fold is None
+              else [_chunk_with_fold_s1(A.fold, c, i)
+                    for i, c in enumerate(A.chunks)])
+    parts = [spmm_gpr(c, X, interpret=interpret) for c in chunks]
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _chunk_with_fold_s1(fold: "ChunkFold", c: GPCSR, i: int) -> GPCSR:
+    """Rebuild chunk ``i``'s stage-1 operands as static slices of the
+    fold's concatenated planes (tile axis = per-chunk tile counts)."""
+    if int(c.gseg.shape[0]) != 0:
+        return c                      # chunk still owns its planes
+    t0 = sum(fold.tile_counts[:i])
+    T_c = fold.tile_counts[i]
+    rp = fold.rp128
+    return dataclasses.replace(
+        c,
+        gseg=lax.slice_in_dim(fold.gseg, t0 * rp, (t0 + T_c) * rp),
+        glidx=lax.slice_in_dim(fold.glidx, t0 * rp, (t0 + T_c) * rp),
+        plan=dataclasses.replace(
+            c.plan,
+            a2=lax.slice_in_dim(fold.a2, t0, t0 + T_c),
+            a3=lax.slice_in_dim(fold.a3, t0, t0 + T_c)))

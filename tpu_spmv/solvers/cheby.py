@@ -66,8 +66,10 @@ def chebyshev(A, b, *, lmin: float, lmax: float, x0=None,
     small safety factor); for Laplacian-like systems ``lmin`` can be a
     crude lower bound without much loss.
     """
-    if not (0.0 < lmin <= lmax):
-        raise ValueError(f"need 0 < lmin <= lmax, got [{lmin}, {lmax}]")
+    # strict lmin < lmax: the recurrence divides by delta = (lmax-lmin)/2,
+    # so a degenerate interval would produce inf/NaN (ADVICE r2)
+    if not (0.0 < lmin < lmax):
+        raise ValueError(f"need 0 < lmin < lmax, got [{lmin}, {lmax}]")
     matvec = _as_matvec(A)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -119,8 +121,9 @@ def chebyshev_preconditioner(A, *, degree: int = 4,
     Applies ``z ≈ (D⁻¹A)⁻¹ D⁻¹ r`` restricted to the eigenvalue window
     ``[lmin_frac·lmax, lmax]`` of the Jacobi-scaled operator — the
     standard smoothed-aggregation recipe (targets the upper part of the
-    spectrum; CG mops up the few low modes).  Each application is
-    ``degree`` SpMVs with zero reductions, and because it runs *inside*
+    spectrum; CG mops up the few low modes).  Each application is exactly
+    ``degree`` SpMVs with zero reductions (the resulting polynomial in
+    ``D⁻¹A`` has degree ``degree``), and because it runs *inside*
     CG's ``while_loop`` body the whole polynomial inlines into one XLA
     region.
 
@@ -167,12 +170,14 @@ def chebyshev_preconditioner(A, *, degree: int = 4,
     def apply(r):
         # fixed-degree Chebyshev recurrence on z' = p(D⁻¹A) D⁻¹ r;
         # a Python loop over `degree` steps — unrolled at trace time
-        # (degree is static), zero reductions
+        # (degree is static), zero reductions.  Each iteration performs
+        # one SpMV, so one apply() = `degree` SpMVs and the polynomial
+        # degree matches the parameter (ADVICE r2 off-by-one).
         rr = dinv * r
         p = rr / theta
         z = p
         rho = 1.0 / sigma
-        for _ in range(degree - 1):
+        for _ in range(degree):
             rr = rr - scaled(p)
             rho_new = 1.0 / (2.0 * sigma - rho)
             p = rho_new * (2.0 * rr / delta + rho * p)
