@@ -32,6 +32,14 @@ SpMV steps inside one dispatched computation, differenced across two K's,
 min-of-3 — per-call fencing is not trustworthy through remote backends.
 Large operands ride as jit arguments (``operands=``), never closures
 (captured arrays become compile-payload constants; HTTP 413 past ~100 MB).
+Streaming kernels chain ZERO-COPY (``time_chained_pingpong`` + donated
+output buffers): an XLA while loop pins each carry to a fixed buffer, so
+a plain chained pallas kernel pays a full extra carry copy per iteration
+— round 2's SpMM "headline" was 2x the true kernel cost.  The headline
+SpMV rotates FOUR buffers (268 MB working set, past VMEM) so its number
+is genuinely HBM-streaming; the 2-buffer figure (one vector legally
+VMEM-resident — the cost a donated-buffer solver loop sees) is reported
+separately as ``ms_per_spmv_vmem_assisted``.
 
 ``vs_baseline``: achieved fraction of the measured HBM roofline divided by
 the 0.70 target from BASELINE.json (>= 1.0 means target met).
@@ -133,41 +141,66 @@ def verify_stencil_big(A, x, g: int, spmv_fn=None) -> float:
 
 def bench_spmm_configs(A_dia, xp_scale) -> dict:
     """BASELINE config 3: 32-RHS SpMM, structured (streaming DIA) and
-    general (GPR, below) — both vs their XLA fallbacks."""
+    general (GPR, below) — both vs their XLA fallbacks.
+
+    Headline kernel: PERIODIC streaming DIA (pattern VMEM-resident,
+    traffic = 32·(x + y)) timed over a zero-copy ping-pong chain — the
+    plain chained protocol charges the kernel a full extra XLA
+    while-carry copy per iteration (round-2's 14.26 ms was 2x the true
+    kernel cost; see ``time_chained_pingpong``).  The normalization
+    scale is folded into the (tiny) pattern so the chain step is the
+    bare kernel.  The explicit-data SDIA SpMM is timed alongside.
+    """
+    import dataclasses
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from tpu_spmv.bench.harness import time_chained
+    from tpu_spmv.bench.harness import time_chained_pingpong
     from tpu_spmv.kernels import dia_stream
 
     NRHS = 32
     # nrhs-aware tile auto-selection: the multi-RHS panels shift the
     # VMEM optimum (measured 19.5 -> 13.7 ms going rb 4096 -> 65536)
     S32 = dia_stream.pack_sdia(A_dia, nrhs=NRHS)
+    P32 = dia_stream.pack_psdia(A_dia, period=GRID, nrhs=NRHS)
+    assert S32.npad == P32.npad and S32.L == P32.L
     n = A_dia.shape[0]
     # operands live in TRANSPOSED [nrhs, n] layout: [n, 32] would pad
     # lanes 32 -> 128 (4x = 8 GB at this size)
     Xt = jax.random.uniform(jax.random.PRNGKey(7), (NRHS, S32.npad),
                             jnp.float32)
     Xt = Xt.at[:, :S32.L].set(0).at[:, S32.L + n:].set(0)
-    # verify: row 0 must match the SpMV kernel on the same vector
+    # verify: row 0 of both kernels must match the SpMV kernel
     y0 = dia_stream.spmv_sdia_padded(S32, Xt[0])
     Yt = dia_stream.spmm_sdia_padded_t(S32, Xt)
     rel = float(jnp.max(jnp.abs(Yt[0] - y0)) / jnp.max(jnp.abs(y0)))
     assert rel < 2e-5, f"spmm_sdia vs spmv mismatch: {rel:.3e}"
-    dt = time_chained(
-        lambda C, Ad: dia_stream.spmm_sdia_padded_t(Ad, C) * xp_scale, Xt,
-        iters=40, warm=4, operands=(S32,))
+    Yp = dia_stream.spmm_psdia_padded_t(P32, Xt)
+    rel_p = float(jnp.max(jnp.abs(Yp[0] - y0)) / jnp.max(jnp.abs(y0)))
+    assert rel_p < 2e-5, f"spmm_psdia vs spmv mismatch: {rel_p:.3e}"
+
+    P32s = dataclasses.replace(P32, pattern=P32.pattern * xp_scale)
+    S32s = dataclasses.replace(S32, data=S32.data * xp_scale)
+    dt = time_chained_pingpong(
+        lambda C, dead, Ad: dia_stream.spmm_psdia_padded_t(Ad, C, dead),
+        Xt, iters=40, warm=4, operands=(P32s,))
+    dt_s = time_chained_pingpong(
+        lambda C, dead, Ad: dia_stream.spmm_sdia_padded_t(Ad, C, dead),
+        Xt, iters=40, warm=4, operands=(S32s,))
     gflops = 2 * A_dia.nnz * NRHS / dt / 1e9
     log(f"### CSR SPMM{NRHS} GFLOPS = {gflops:.5f}")
-    log(f"bench: poisson spmm_sdia {dt * 1e3:.2f} ms/iter "
-        f"({gflops:.0f} GFLOP/s)")
+    log(f"bench: poisson spmm_psdia {dt * 1e3:.2f} ms/iter "
+        f"({gflops:.0f} GFLOP/s); spmm_sdia {dt_s * 1e3:.2f} ms/iter "
+        f"({2 * A_dia.nnz * NRHS / dt_s / 1e9:.0f} GFLOP/s)")
     return {
         "nrhs": NRHS,
         "ms_per_spmm": round(dt * 1e3, 3),
         "gflops": round(gflops, 2),
-        "rel_vs_spmv": rel,
+        "rel_vs_spmv": rel_p,
+        "sdia_ms_per_spmm": round(dt_s * 1e3, 3),
+        "sdia_rel_vs_spmv": rel,
     }
 
 
@@ -464,6 +497,39 @@ def bench_powerlaw() -> dict:
     }
 
 
+def _pallas_copy(x, dead):
+    """HBM->HBM streaming copy into a donated buffer (peak-bandwidth
+    probe; 8 MB blocks, same shape as the timed kernels' access)."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    RB = 2_097_152
+    N = int(x.shape[0])
+    T = N // RB
+
+    def ckernel(x_ref, dead_ref, o_ref):
+        o_ref[:] = x_ref[:] * 0.9999999
+
+    return pl.pallas_call(
+        ckernel,
+        out_shape=jax.ShapeDtypeStruct((N,), x.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((RB,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((RB,), lambda j: (j,),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024),
+    )(x, dead)
+
+
 def main() -> int:
     t_start = time.time()
     import numpy as np
@@ -478,13 +544,21 @@ def main() -> int:
     log(f"bench: device={dev.device_kind} platform={dev.platform}")
 
     # --- measured speed-of-light over 256 MiB (must exceed VMEM by a wide
-    # margin or the "roofline" measures on-chip SRAM) ---
+    # margin or the "roofline" measures on-chip SRAM).  Two probes, best
+    # wins: an XLA elementwise chain (in-placed into the loop carry by
+    # XLA) and a pallas streaming copy over a zero-copy ping-pong chain —
+    # the protocol the timed kernels themselves use.  ---
+    from tpu_spmv.bench.harness import time_chained_pingpong
+
     v = jnp.asarray(np.random.default_rng(0).random(1 << 26), jnp.float32)
     sol_dt = time_chained(lambda c: c * 1.0000001 + 1e-9, v, iters=20, warm=2)
-    stream_gbps = 2 * v.size * 4 / sol_dt / 1e9
+    copy_dt = time_chained_pingpong(_pallas_copy, v, iters=20, warm=2)
+    stream_gbps = 2 * v.size * 4 / min(sol_dt, copy_dt) / 1e9
     measured_peak_gbps = min(stream_gbps, hbm_bandwidth_gbps(dev))
     log(f"bench: measured stream roofline = {stream_gbps:.0f} GB/s "
-        f"(spec {hbm_bandwidth_gbps(dev):.0f})")
+        f"(elementwise {2 * v.size * 4 / sol_dt / 1e9:.0f}, pallas copy "
+        f"{2 * v.size * 4 / copy_dt / 1e9:.0f}; "
+        f"spec {hbm_bandwidth_gbps(dev):.0f})")
     del v
 
     # --- headline matrix: 4096-grid Poisson, built and verified on device
@@ -522,16 +596,52 @@ def main() -> int:
     log(f"bench: psdia kernel stencil cross-check rel_err={rel_p:.2e} "
         f"(rb={PS.rb}, pattern={PS.pattern.shape})")
     assert rel_p < 2e-5, f"psdia verification failed: {rel_p:.3e}"
+    # zero-copy chained timing: the normalization scale is folded into
+    # the matrix data (same flops) and each kernel writes into a donated
+    # ping-pong buffer — the plain chain pays an extra XLA while-carry
+    # copy per iteration (see time_chained_pingpong / _dead_out).
+    import dataclasses
+
+    from tpu_spmv.bench.harness import time_chained_pingpong
+
+    Ssc = dataclasses.replace(S, data=S.data * scale)
+    PSc = dataclasses.replace(PS, pattern=PS.pattern * scale)
     xp = dia_stream.pad_x(S, x)
-    sdia_dt = time_chained(
-        lambda c, Ad: dia_stream.spmv_sdia_padded(Ad, c) * scale, xp,
-        iters=400, warm=20, operands=(S,))
+    sdia_dt = time_chained_pingpong(
+        lambda c, dead, Ad: dia_stream.spmv_sdia_padded(Ad, c, dead), xp,
+        iters=400, warm=20, operands=(Ssc,))
     xpp = dia_stream.pad_x(PS, x)
-    dt = time_chained(
+    # HEADLINE: 4-buffer rotation = 268 MB working set, past VMEM — the
+    # measurement is genuinely HBM-streaming (fraction <= 1)
+    dt = time_chained_pingpong(
+        lambda c, dead, Ad: dia_stream.spmv_psdia_padded(Ad, c, dead), xpp,
+        iters=400, warm=20, operands=(PSc,), nbuf=4)
+    # 2-buffer ping-pong: x+y fit (one of them) in VMEM — the real cost a
+    # donated-buffer solver loop sees, but NOT an HBM roofline number
+    dt_vmem = time_chained_pingpong(
+        lambda c, dead, Ad: dia_stream.spmv_psdia_padded(Ad, c, dead), xpp,
+        iters=800, warm=20, operands=(PSc,))
+    # the carry-copy-burdened number, for the record (what a caller that
+    # does NOT thread a donated output through its loop would measure)
+    dt_copy = time_chained(
         lambda c, Ad: dia_stream.spmv_psdia_padded(Ad, c) * scale, xpp,
         iters=800, warm=20, operands=(PS,))
     xla_dt = time_chained(lambda c, Ad: ts.spmv(Ad, c) * scale, x,
                           iters=100, warm=10, operands=(A,))
+
+    # mixed precision: bf16-stored diagonals, f32 vectors/accumulation —
+    # halves the dominant data stream of the EXPLICIT kernel.  The 5-pt
+    # Poisson coefficients (-1, 4) are exact in bf16, so correctness
+    # still gates at f32 tolerance here; the bf16-rounding budget on
+    # general data is tested in tests/test_dia_stream.py.
+    Sbf = dia_stream.pack_sdia(A, data_dtype=jnp.bfloat16)
+    rel_bf = verify_stencil_big(Sbf, x, GRID, spmv_fn=dia_stream.spmv_sdia)
+    assert rel_bf < 2e-5, f"bf16-data sdia verification failed: {rel_bf:.3e}"
+    Sbfc = dataclasses.replace(Sbf, data=Sbf.data * jnp.bfloat16(scale))
+    sdia_bf16_dt = time_chained_pingpong(
+        lambda c, dead, Ad: dia_stream.spmv_sdia_padded(Ad, c, dead), xp,
+        iters=400, warm=20, operands=(Sbfc,))
+    bf_bw = spmv_bytes(Sbf, jnp.float32) / sdia_bf16_dt / 1e9
 
     # headline: the planner kernel (psdia) against ITS OWN minimum-traffic
     # model (pattern + x + y) — honest bytes, fraction <= 1
@@ -544,9 +654,14 @@ def main() -> int:
     sdia_frac = sdia_bw / measured_peak_gbps
     log(f"### CSR TPU GFLOPS = {gflops:.5f}")
     log(f"bench: psdia {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
-        f"{100 * frac:.1f}% of measured roofline | strategy=pdia_stream")
+        f"{100 * frac:.1f}% of measured roofline | strategy=pdia_stream | "
+        f"vmem-assisted 2-buffer {dt_vmem * 1e3:.3f} ms/iter | "
+        f"with-carry-copy {dt_copy * 1e3:.3f} ms/iter")
     log(f"bench: sdia {sdia_dt * 1e3:.3f} ms/iter | {sdia_bw:.1f} GB/s | "
         f"{100 * sdia_frac:.1f}% | xla dia: {xla_dt * 1e3:.3f} ms/iter")
+    log(f"bench: sdia bf16-data {sdia_bf16_dt * 1e3:.3f} ms/iter | "
+        f"{bf_bw:.1f} GB/s | {sdia_dt / sdia_bf16_dt:.2f}x f32 sdia | "
+        f"rel_err={rel_bf:.2e}")
 
     # --- distributed parity on one chip: the same matrix through the
     # sharded streaming-DIA shard_map path (ndev=1) must cost ~the same
@@ -595,6 +710,10 @@ def main() -> int:
             "strategy": "pdia_stream",
             "nnz": int(A.nnz),
             "rel_err": rel_p,
+            # 2-buffer donated chain: one vector legally lands in VMEM
+            # (solver-loop reality, not an HBM roofline claim)
+            "ms_per_spmv_vmem_assisted": round(dt_vmem * 1e3, 4),
+            "ms_per_spmv_with_carry_copy": round(dt_copy * 1e3, 4),
             "sdia": {
                 # explicit-data streaming kernel: HBM-bound by
                 # construction, carries the matrix-streaming >= 70% gate
@@ -602,6 +721,10 @@ def main() -> int:
                 "model_gbps": round(sdia_bw, 2),
                 "roofline_fraction": round(sdia_frac, 4),
                 "rel_err": rel_s,
+                # mixed precision: bf16-stored data, f32 vectors/accum
+                "bf16_data_ms_per_spmv": round(sdia_bf16_dt * 1e3, 4),
+                "bf16_data_model_gbps": round(bf_bw, 2),
+                "bf16_data_rel_err": rel_bf,
             },
             "xla_dia_ms_per_spmv": round(xla_dt * 1e3, 4),
             "device": dev.device_kind,

@@ -383,3 +383,88 @@ def test_batched_coloring_matches_serial():
     for t in range(T):
         assert len(set(zip(src[t], colors[t]))) == E
         assert len(set(zip(dst[t], colors[t]))) == E
+
+
+def test_dead_output_donation_matches_plain():
+    # the zero-copy chaining hook (_dead_out): a donated, never-read
+    # buffer aliased to the output must not change any result — SpMV and
+    # SpMM, SDIA and PSDIA
+    sp_mat = utils.laplacian_2d(16)
+    dia = convert(COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32), "dia")
+    S = dia_stream.pack_sdia(dia)
+    P = dia_stream.pack_psdia(dia, period=16)
+    x = jnp.asarray(np.random.default_rng(3).random(256), jnp.float32)
+    xs = dia_stream.pad_x(S, x)
+    xp = jnp.pad(x, (P.L, P.npad - P.L - 256))
+    np.testing.assert_array_equal(
+        np.asarray(dia_stream.spmv_sdia_padded(S, xs, jnp.zeros_like(xs),
+                                               interpret=True)),
+        np.asarray(dia_stream.spmv_sdia_padded(S, xs, interpret=True)))
+    np.testing.assert_array_equal(
+        np.asarray(dia_stream.spmv_psdia_padded(P, xp, jnp.zeros_like(xp),
+                                                interpret=True)),
+        np.asarray(dia_stream.spmv_psdia_padded(P, xp, interpret=True)))
+    Xt = jnp.stack([xp * (q + 1) for q in range(8)])
+    np.testing.assert_array_equal(
+        np.asarray(dia_stream.spmm_psdia_padded_t(P, Xt, jnp.zeros_like(Xt),
+                                                  interpret=True)),
+        np.asarray(dia_stream.spmm_psdia_padded_t(P, Xt, interpret=True)))
+    Xs = jnp.stack([xs * (q + 1) for q in range(8)])
+    np.testing.assert_array_equal(
+        np.asarray(dia_stream.spmm_sdia_padded_t(S, Xs, jnp.zeros_like(Xs),
+                                                 interpret=True)),
+        np.asarray(dia_stream.spmm_sdia_padded_t(S, Xs, interpret=True)))
+
+
+def test_time_chained_pingpong_protocol():
+    # the even-odd ping-pong chain must apply the step exactly 2x per
+    # fori iteration and return a sane per-step time
+    from tpu_spmv.bench.harness import time_chained_pingpong
+
+    sp_mat = utils.laplacian_2d(8)
+    dia = convert(COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32), "dia")
+    P = dia_stream.pack_psdia(dia, period=8)
+    import dataclasses
+
+    Ps = dataclasses.replace(P, pattern=P.pattern * jnp.float32(0.125))
+    x = jnp.asarray(np.random.default_rng(4).random(64), jnp.float32)
+    xp = jnp.pad(x, (P.L, P.npad - P.L - 64))
+    dt = time_chained_pingpong(
+        lambda v, dead, A: dia_stream.spmv_psdia_padded(A, v, dead,
+                                                        interpret=True),
+        xp, iters=2, warm=1, operands=(Ps,))
+    assert dt > 0
+
+
+def test_sdia_mixed_precision_bf16_data():
+    # bf16-stored diagonals, f32 vectors/accumulation: output dtype is
+    # f32 and the error budget is bf16 rounding of the coefficients
+    # (~1e-2 rel) — use random data so rounding actually bites
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    n, bw = 300, 3
+    diags = [rng.standard_normal(n) for _ in range(2 * bw + 1)]
+    offs = list(range(-bw, bw + 1))
+    m = sp.diags(diags, offs, shape=(n, n), format="csr")
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    S = dia_stream.pack_sdia(dia, data_dtype=jnp.bfloat16)
+    assert S.data.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    y = dia_stream.spmv_sdia(S, x, interpret=True)
+    assert y.dtype == jnp.float32
+    ref = m.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-2, rel       # bf16 coefficient rounding budget
+    assert rel > 1e-6            # ...and it IS bf16 (not silently f32)
+    # full-f32 pack on the same matrix stays at f32 accuracy
+    S32 = dia_stream.pack_sdia(dia)
+    y32 = dia_stream.spmv_sdia(S32, x, interpret=True)
+    rel32 = np.max(np.abs(np.asarray(y32, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel32 < 2e-6
+    # SpMM path promotes the same way
+    Xt = jnp.stack([dia_stream.pad_x(S, x)] * 8)
+    Yt = dia_stream.spmm_sdia_padded_t(S, Xt, interpret=True)
+    assert Yt.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(Yt[0][S.L:S.L + n]),
+                               np.asarray(y), rtol=1e-6, atol=1e-6)

@@ -119,6 +119,48 @@ def time_chained(step_fn: Callable, v0, *, iters: int = 20,
         run_fenced(warm + iters)  # compile the longer loop
 
 
+def time_chained_pingpong(step_fn: Callable, v0, *, iters: int = 20,
+                          warm: int = 2, operands: tuple = (),
+                          nbuf: int = 2) -> float:
+    """Seconds per step of a DONATED-OUTPUT kernel chained zero-copy.
+
+    ``step_fn(x, dead, *operands) -> y`` must write its result into the
+    donated ``dead`` buffer (pallas ``input_output_aliases``; see
+    ``kernels.dia_stream._dead_out``).  Plain :func:`time_chained` charges
+    such kernels a full extra carry copy per iteration: an XLA while loop
+    pins each carry component to a fixed buffer, so a fresh-allocation
+    output is copied back into the carry slot (measured: 2x wall time on
+    a 2.1 GB stream).  Here each fori step runs ``nbuf`` kernel
+    applications rotating through ``nbuf`` buffers — application i writes
+    into buffer (i+1) mod nbuf — so every value is produced directly in
+    its home carry slot and the loop is copy-free.  Real chained
+    workloads (power iteration, Chebyshev, fixed-point smoothers) get
+    the same win by threading the dead buffer the same way.
+
+    ``nbuf`` also controls the live working set (nbuf x sizeof(v0)):
+    with 2 buffers of a VMEM-scale vector the compiler may legally pin
+    one in VMEM (the donated buffer is ``memory_space=ANY``) and the
+    measurement stops being HBM-streaming — great for solvers, wrong
+    for a roofline claim.  Pass ``nbuf=4`` to force the working set past
+    VMEM when an HBM-bound number is the point.
+    """
+    if nbuf < 2:
+        raise ValueError("nbuf >= 2 (output cannot alias a read operand)")
+    bufs = (v0,) + tuple(jax.tree_util.tree_map(jnp.zeros_like, v0)
+                         for _ in range(nbuf - 1))
+
+    def rotate_step(c, *ops):
+        out = list(c)
+        x = c[0]
+        for i in range(nbuf):
+            x = step_fn(x, c[(i + 1) % nbuf], *ops)
+            out[(i + 1) % nbuf] = x
+        return tuple(out)
+
+    return time_chained(rotate_step, bufs, iters=iters, warm=warm,
+                        operands=operands) / float(nbuf)
+
+
 def time_fn(fn: Callable, *args, iters: int = DEFAULT_ITERS,
             warmup: int = 2) -> TimingResult:
     """Time ``fn(*args)``: compile/warm up, then mean + best of ``iters``.

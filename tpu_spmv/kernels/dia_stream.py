@@ -54,6 +54,35 @@ RB = 16384
 RB_MAX = 131072
 #: per-buffer budget for the [ndiags, rb] data block (double-buffered)
 _DATA_BLOCK_BUDGET = 3 << 20
+#: scoped-VMEM budget (MB) for the multi-RHS kernels — module-level so
+#: probes can sweep it
+_SPMM_VMEM_MB = 64
+
+
+def _dead_out(kernel, in_specs, operands, dead):
+    """Augment a pallas call with a DONATED, never-read operand aliased to
+    output 0 (``dead`` must match the output shape/dtype).
+
+    Why this exists: an XLA while/fori loop pins each carry component to a
+    fixed buffer, so a chained kernel whose output is a fresh allocation
+    pays a full extra carry copy per iteration — measured 2x wall time on
+    the 32-RHS SpMM (13.3 -> 6.9 ms) and on a raw 2.1 GB pallas copy
+    (13.1 -> 6.5 ms).  Writing into a donated buffer the caller threads
+    through the loop (even-odd ping-pong, see
+    ``bench.harness.time_chained_pingpong``) elides the copy.  True
+    in-place (aliasing an operand the stencil READS) would race with the
+    pipelined halo fetches; a dead buffer cannot.
+    """
+    if dead is None:
+        return kernel, in_specs, operands, {}
+
+    def kernel_dead(*refs):
+        kernel(*refs[:-2], refs[-1])
+
+    return (kernel_dead,
+            in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            operands + (dead,),
+            {"input_output_aliases": {len(in_specs): 0}})
 
 
 def _roundup(a: int, m: int) -> int:
@@ -125,14 +154,25 @@ def supports_sdia(offsets, shape, rb: int | None = None) -> bool:
     return max(abs(int(o)) for o in offsets) <= rb
 
 
-def pack_sdia(dia: DIA, rb: int | None = None, *, nrhs: int = 1) -> SDIA:
+def pack_sdia(dia: DIA, rb: int | None = None, *, nrhs: int = 1,
+              data_dtype=None) -> SDIA:
     """Lay a DIA matrix out in padded-tile row space (device-side ops —
     no host round-trip, so packing a 335 MB operand costs one stream).
 
     ``rb=None`` auto-selects the tile size (see :func:`_auto_rb`); pass
     the intended ``nrhs`` when the pack will mostly serve
     :func:`spmm_sdia_padded_t` — the multi-RHS panels change the VMEM
-    optimum."""
+    optimum.
+
+    ``data_dtype`` (e.g. ``jnp.bfloat16``) stores the diagonal data in a
+    narrower type while the kernels keep x/y and the accumulation in the
+    x dtype — MIXED precision.  The data stream is the dominant HBM
+    traffic of the explicit kernel (335 of 470 MB/iter on the 16.7M-row
+    Poisson), so bf16 data buys ~1.8x on a streaming-bound SpMV at a
+    ~1e-2 relative-error budget (bf16 has 8 mantissa bits; the products
+    are computed in f32 after an in-VPU upconvert, so only the stored
+    coefficients are rounded).  The TPU-idiomatic trade — the reference
+    has no analog (double-only, ``src/mat_vec.cpp``)."""
     nrow, ncol = dia.shape
     if rb is None:
         rb = _auto_rb(dia.ndiags, dia.offsets, nrow, nrhs=nrhs)
@@ -148,6 +188,8 @@ def pack_sdia(dia: DIA, rb: int | None = None, *, nrhs: int = 1) -> SDIA:
     U = _roundup(hi, rb) if hi else 0
     npad = L + _roundup(nrow, rb) + U
     data = jnp.pad(dia.data, ((0, 0), (L, npad - L - nrow)))
+    if data_dtype is not None:
+        data = data.astype(data_dtype)
     return SDIA(data=data, offsets=dia.offsets, shape=dia.shape,
                 nnz=dia.nnz, L=L, rb=rb)
 
@@ -174,8 +216,8 @@ def _kernel(data_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
-                     interpret: bool = False) -> jax.Array:
+def spmv_sdia_padded(A: SDIA, xpad: jax.Array, dead: jax.Array | None = None,
+                     *, interpret: bool = False) -> jax.Array:
     """``ypad = A @ xpad`` in padded row space (``[npad] -> [npad]``).
 
     Shape-preserving — chain it directly (``xpad[k] = x[k - L]``, pads
@@ -185,6 +227,10 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
     ``H``-sized neighbor slivers (H = smallest aligned block covering the
     band), so the refetch overhead is ``2H/RB`` instead of 2x.  Edge
     index clamps feed only pure-pad tiles (structurally zero data).
+
+    ``dead``, if given, is a DONATED ``[npad]`` buffer the output is
+    written into (never read) — the zero-copy hook for chained loops,
+    see :func:`_dead_out`.
     """
     rb = A.rb
     npad = A.npad
@@ -194,11 +240,9 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
     hb = rb // h                     # halo blocks per row tile
     TH = npad // h
 
-    return pl.pallas_call(
+    kern, in_specs, ops, extra = _dead_out(
         functools.partial(_kernel, offsets=A.offsets, rb=rb, h=h),
-        out_shape=jax.ShapeDtypeStruct((npad,), A.data.dtype),
-        grid=(T,),
-        in_specs=[
+        [
             pl.BlockSpec((nd, rb), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h,), lambda j: (jnp.clip(j * hb - 1, 0, TH - 1),),
@@ -208,10 +252,18 @@ def spmv_sdia_padded(A: SDIA, xpad: jax.Array, *,
                          lambda j: (jnp.clip((j + 1) * hb, 0, TH - 1),),
                          memory_space=pltpu.VMEM),
         ],
+        (A.data, xpad, xpad, xpad), dead)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (npad,), jnp.result_type(A.data.dtype, xpad.dtype)),
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rb,), lambda j: (j,),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(A.data, xpad, xpad, xpad)
+        **extra,
+    )(*ops)
 
 
 def _spmm_acc(coef, xm, x0, xp, offsets, rb, h):
@@ -278,7 +330,8 @@ def _spmm_kernel(data_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array, *,
+def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array,
+                       dead: jax.Array | None = None, *,
                        interpret: bool = False) -> jax.Array:
     """``Yt_pad = (A @ Xt_pad.T).T`` for TRANSPOSED multi-RHS operands
     ``[nrhs, npad]``.
@@ -288,7 +341,9 @@ def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array, *,
     4x memory blow-up (8 GB for the 16.7M-row bench operand).  With rows
     on the lane dimension the layout is dense, and each diagonal is a
     lane-shifted slice of the ``[nrhs, rb + 2h]`` window (same static-
-    slice structure as the SpMV kernel).  Shape-preserving — chainable.
+    slice structure as the SpMV kernel).  Shape-preserving — chainable;
+    pass ``dead`` (donated ``[nrhs, npad]``) for zero-copy chaining
+    (:func:`_dead_out`).
     """
     rb = A.rb
     npad = A.npad
@@ -299,11 +354,9 @@ def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array, *,
     hb = rb // h
     TH = npad // h
 
-    return pl.pallas_call(
+    kern, in_specs, ops, extra = _dead_out(
         functools.partial(_spmm_kernel, offsets=A.offsets, rb=rb, h=h),
-        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.data.dtype),
-        grid=(T,),
-        in_specs=[
+        [
             pl.BlockSpec((nd, rb), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nrhs, h),
@@ -315,14 +368,22 @@ def spmm_sdia_padded_t(A: SDIA, Xt_pad: jax.Array, *,
                          lambda j: (0, jnp.clip((j + 1) * hb, 0, TH - 1)),
                          memory_space=pltpu.VMEM),
         ],
+        (A.data, Xt_pad, Xt_pad, Xt_pad), dead)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (nrhs, npad), jnp.result_type(A.data.dtype, Xt_pad.dtype)),
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nrhs, rb), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         # the multi-RHS window tips the default 16 MB scoped-vmem budget
         # (concat + per-diagonal slice temporaries); raise it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_SPMM_VMEM_MB * 1024 * 1024),
         interpret=interpret,
-    )(A.data, Xt_pad, Xt_pad, Xt_pad)
+        **extra,
+    )(*ops)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -667,11 +728,13 @@ def _pkernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spmv_psdia_padded(A: PSDIA, xpad: jax.Array, *,
+def spmv_psdia_padded(A: PSDIA, xpad: jax.Array,
+                      dead: jax.Array | None = None, *,
                       interpret: bool = False) -> jax.Array:
     """``ypad = A @ xpad`` in padded row space — same contract as
     :func:`spmv_sdia_padded` (shape-preserving, chainable, pads stay zero
-    via the in-kernel row mask instead of zero data)."""
+    via the in-kernel row mask instead of zero data; ``dead`` = donated
+    output buffer for zero-copy chains, :func:`_dead_out`)."""
     rb = A.rb
     npad = A.npad
     T = npad // rb
@@ -680,12 +743,10 @@ def spmv_psdia_padded(A: PSDIA, xpad: jax.Array, *,
     hb = rb // h
     TH = npad // h
 
-    return pl.pallas_call(
+    kern, in_specs, ops, extra = _dead_out(
         functools.partial(_pkernel, offsets=A.offsets, rb=rb, h=h,
                           L=A.L, nrow=A.shape[0]),
-        out_shape=jax.ShapeDtypeStruct((npad,), A.pattern.dtype),
-        grid=(T,),
-        in_specs=[
+        [
             # constant index map: fetched once, VMEM-resident all grid long
             pl.BlockSpec((nd, rb), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -696,10 +757,17 @@ def spmv_psdia_padded(A: PSDIA, xpad: jax.Array, *,
                          lambda j: (jnp.clip((j + 1) * hb, 0, TH - 1),),
                          memory_space=pltpu.VMEM),
         ],
+        (A.pattern, xpad, xpad, xpad), dead)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((npad,), A.pattern.dtype),
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rb,), lambda j: (j,),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(A.pattern, xpad, xpad, xpad)
+        **extra,
+    )(*ops)
 
 
 def transpose_psdia(A: PSDIA) -> PSDIA:
@@ -775,10 +843,10 @@ def spmv_psdia(A: PSDIA, x: jax.Array, y: jax.Array | None = None, *,
 
 
 def _pspmm_kernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
-                  L, nrow):
+                  L, nrow, pid_axis=0):
     pieces = _spmm_acc(lambda d: pat_ref[d], xm_ref[:], x0_ref[:],
                        xp_ref[:], offsets, rb, h)
-    j = pl.program_id(0)
+    j = pl.program_id(pid_axis)
     interior = jnp.logical_and(j * rb >= L, (j + 1) * rb <= L + nrow)
 
     @pl.when(interior)
@@ -795,10 +863,13 @@ def _pspmm_kernel(pat_ref, xm_ref, x0_ref, xp_ref, o_ref, *, offsets, rb, h,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array, *,
+def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array,
+                        dead: jax.Array | None = None, *,
                         interpret: bool = False) -> jax.Array:
     """``Yt_pad = (A @ Xt_pad.T).T`` for transposed ``[nrhs, npad]``
-    operands — same contract as :func:`spmm_sdia_padded_t`."""
+    operands — same contract as :func:`spmm_sdia_padded_t` (``dead`` =
+    donated output for zero-copy chains; measured 13.5 -> 6.9 ms at
+    nrhs=32 on the 16.7M-row Poisson, the while-carry copy elided)."""
     rb = A.rb
     npad = A.npad
     T = npad // rb
@@ -808,12 +879,10 @@ def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array, *,
     hb = rb // h
     TH = npad // h
 
-    return pl.pallas_call(
+    kern, in_specs, ops, extra = _dead_out(
         functools.partial(_pspmm_kernel, offsets=A.offsets, rb=rb, h=h,
                           L=A.L, nrow=A.shape[0]),
-        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.pattern.dtype),
-        grid=(T,),
-        in_specs=[
+        [
             pl.BlockSpec((nd, rb), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nrhs, h),
@@ -825,12 +894,19 @@ def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array, *,
                          lambda j: (0, jnp.clip((j + 1) * hb, 0, TH - 1)),
                          memory_space=pltpu.VMEM),
         ],
+        (A.pattern, Xt_pad, Xt_pad, Xt_pad), dead)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.pattern.dtype),
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nrhs, rb), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_SPMM_VMEM_MB * 1024 * 1024),
         interpret=interpret,
-    )(A.pattern, Xt_pad, Xt_pad, Xt_pad)
+        **extra,
+    )(*ops)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
