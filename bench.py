@@ -177,18 +177,23 @@ def bench_spmm_configs(A_dia, xp_scale) -> dict:
     Yt = dia_stream.spmm_sdia_padded_t(S32, Xt)
     rel = float(jnp.max(jnp.abs(Yt[0] - y0)) / jnp.max(jnp.abs(y0)))
     assert rel < 2e-5, f"spmm_sdia vs spmv mismatch: {rel:.3e}"
+    del Yt
     Yp = dia_stream.spmm_psdia_padded_t(P32, Xt)
     rel_p = float(jnp.max(jnp.abs(Yp[0] - y0)) / jnp.max(jnp.abs(y0)))
     assert rel_p < 2e-5, f"spmm_psdia vs spmv mismatch: {rel_p:.3e}"
+    del Yp, y0    # 2 x 2.2 GB — HBM headroom for the ping-pong scratch
 
     P32s = dataclasses.replace(P32, pattern=P32.pattern * xp_scale)
-    S32s = dataclasses.replace(S32, data=S32.data * xp_scale)
     dt = time_chained_pingpong(
         lambda C, dead, Ad: dia_stream.spmm_psdia_padded_t(Ad, C, dead),
         Xt, iters=40, warm=4, operands=(P32s,))
+    del P32s
+    S32s = dataclasses.replace(S32, data=S32.data * xp_scale)
+    del S32       # the scaled copy carries the timing; drop the original
     dt_s = time_chained_pingpong(
         lambda C, dead, Ad: dia_stream.spmm_sdia_padded_t(Ad, C, dead),
         Xt, iters=40, warm=4, operands=(S32s,))
+    del S32s
     gflops = 2 * A_dia.nnz * NRHS / dt / 1e9
     log(f"### CSR SPMM{NRHS} GFLOPS = {gflops:.5f}")
     log(f"bench: poisson spmm_psdia {dt * 1e3:.2f} ms/iter "
@@ -390,6 +395,7 @@ def bench_cg_big(PS) -> dict:
     Per-iteration time via maxiter differencing, min-of-3; convergence
     gated at 1e-5 after 40 iterations (kappa ~ 9 -> ~0.5^k error decay).
     """
+    import dataclasses
     import functools
 
     import jax
@@ -400,6 +406,13 @@ def bench_cg_big(PS) -> dict:
     bp = dia_stream.pad_x(
         PS, jax.random.uniform(jax.random.PRNGKey(9),
                                (PS.shape[0],), jnp.float32))
+    # fold the +I of the screened operator INTO the periodic pattern's
+    # main diagonal: (A + I) p becomes ONE kernel pass instead of
+    # kernel + elementwise add (the add costs a full extra read+read+
+    # write sweep, ~200 MB/iter at this size)
+    d0 = PS.offsets.index(0)
+    PSI = dataclasses.replace(
+        PS, pattern=PS.pattern.at[d0].add(jnp.float32(1.0)))
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run_k(Ad, bv, k):
@@ -409,7 +422,7 @@ def bench_cg_big(PS) -> dict:
 
         def body(_, st):
             x, r, p, rz = st
-            Ap = dia_stream.spmv_psdia_padded(Ad, p) + p   # (A + I) p
+            Ap = dia_stream.spmv_psdia_padded(Ad, p)       # (A + I) p
             alpha = rz / jnp.vdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
@@ -422,7 +435,7 @@ def bench_cg_big(PS) -> dict:
         return x, jnp.sqrt(rz)
 
     def run_fenced(k):
-        x, rn = run_k(PS, bp, k)
+        x, rn = run_k(PSI, bp, k)
         return float(rn) + float(jnp.sum(x) * 0)   # fence both outputs
 
     run_fenced(5)
@@ -437,12 +450,13 @@ def bench_cg_big(PS) -> dict:
     # TRUE residual of the 40-iteration solution (the recursive residual
     # goes geometrically below f32 resolution and would overstate)
     @jax.jit
-    def true_rel(Ad, bv):
-        x, _ = run_k(Ad, bv, 40)
-        r = bv - (dia_stream.spmv_psdia_padded(Ad, x) + x)
+    def true_rel(bv):
+        x, _ = run_k(PSI, bv, 40)
+        # independent residual check: the UNfolded operator, A x + x
+        r = bv - (dia_stream.spmv_psdia_padded(PS, x) + x)
         return jnp.sqrt(jnp.vdot(r, r) / jnp.vdot(bv, bv))
 
-    rel = float(true_rel(PS, bp))
+    rel = float(true_rel(bp))
     assert rel < 1e-3, f"screened-Poisson CG failed to converge: {rel:.2e}"
     log(f"bench: cg(screened poisson, 4096x4096 grid, psdia) "
         f"{per_iter * 1e3:.3f} ms/iter; true rel residual after 40 iters "
@@ -642,12 +656,21 @@ def main() -> int:
         lambda c, dead, Ad: dia_stream.spmv_sdia_padded(Ad, c, dead), xp,
         iters=400, warm=20, operands=(Sbfc,))
     bf_bw = spmv_bytes(Sbf, jnp.float32) / sdia_bf16_dt / 1e9
+    del Sbf, Sbfc, Ssc    # scaled/bf16 data copies: ~800 MB of HBM back
 
     # headline: the planner kernel (psdia) against ITS OWN minimum-traffic
     # model (pattern + x + y) — honest bytes, fraction <= 1
     nbytes = spmv_bytes(PS, jnp.float32)
     gflops = 2 * A.nnz / dt / 1e9
     bw = nbytes / dt / 1e9
+    # the stream probes jitter ~±10% run-to-run; when the headline kernel
+    # itself moves bytes faster than the probe did, the kernel IS the
+    # best stream this machine demonstrated — use it as the denominator
+    # (fraction saturates at 1.0, never inflates past it)
+    if bw > measured_peak_gbps:
+        log(f"bench: headline kernel ({bw:.0f} GB/s) beat the stream "
+            f"probes ({measured_peak_gbps:.0f}) — using it as the peak")
+        measured_peak_gbps = min(bw, hbm_bandwidth_gbps(dev))
     frac = bw / measured_peak_gbps
     # the matrix-streaming gate: SDIA against the explicit-DIA byte model
     sdia_bw = spmv_bytes(A, jnp.float32) / sdia_dt / 1e9
@@ -683,6 +706,7 @@ def main() -> int:
         f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain sdia kernel)")
 
     # --- SpMM (BASELINE config 3), structured case ---
+    del Ss, xds           # the sharded 470 MB data copy
     spmm_detail = bench_spmm_configs(A, scale)
 
     # --- second metric: GPR on a random pattern (+ general SpMM) ---

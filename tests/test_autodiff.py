@@ -108,3 +108,47 @@ def test_grad_through_cg(rng):
 
     g = jax.grad(solve_norm)(b)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_plan_matvec_differentiable_gpr():
+    # packed GPR is not JAX-traceable; the plan-level custom VJP routes
+    # x_bar through the transpose pack — gradient must match the natively
+    # differentiable XLA CSR path
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv import utils
+
+    mat = utils.random_sparse(300, 260, 0.05, seed=21).astype(np.float32)
+    plan = plan_spmv(mat, use_pallas=True)
+    if plan.strategy != "gpr":   # force the packed arm
+        from tpu_spmv.kernels import gpr as _gpr
+        from tpu_spmv.ops.auto import plan_from_matrix
+
+        plan = plan_from_matrix(_gpr.pack_gpr(mat), "gpr")
+    plan_T = plan_spmv(mat.T.tocsr(), use_pallas=True)
+    mv = plan.matvec_differentiable(plan_T)
+
+    x = jnp.asarray(np.random.default_rng(3).random(260), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(4).random(300), jnp.float32)
+
+    g = jax.grad(lambda v: jnp.vdot(w, mv(v)))(x)
+    # d/dx <w, A x> = A^T w
+    ref = mat.T.astype(np.float64) @ np.asarray(w, np.float64)
+    np.testing.assert_allclose(np.asarray(g, np.float64), ref,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_plan_matvec_differentiable_auto_transpose():
+    # strategies with an in-place transpose derive plan_T automatically
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv import utils
+
+    mat = utils.laplacian_2d(12).astype(np.float32)
+    plan = plan_spmv(mat)
+    mv = plan.matvec_differentiable()
+    x = jnp.asarray(np.random.default_rng(5).random(144), jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(mv(v) ** 2))(x)
+    A64 = mat.astype(np.float64)
+    xv = np.asarray(x, np.float64)
+    ref = 2.0 * (A64.T @ (A64 @ xv))
+    np.testing.assert_allclose(np.asarray(g, np.float64), ref,
+                               rtol=2e-4, atol=2e-5)

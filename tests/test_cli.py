@@ -156,3 +156,19 @@ def test_cli_drops_explosive_formats():
 
     band = utils.banded(500, bandwidth=3).tocoo()
     assert _drop_explosive_formats(["ell", "dia"], band, 8) == ["ell", "dia"]
+
+
+def test_cli_solve_lanczos(capsys):
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "laplacian:10", "--formats", "csr",
+               "--iters", "3", "--no-check", "--solve", "lanczos",
+               "--json"])
+    assert rc == 0
+    import json as _json
+
+    recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    lz = [r for r in recs if r.get("solver") == "lanczos"]
+    # 2-D Laplacian spectrum: (0, 8); grid 10 ends well inside
+    assert lz and 0.0 < lz[0]["eigenvalue_min"] < lz[0]["eigenvalue_max"] <= 8.0

@@ -125,13 +125,16 @@ def test_gpr_supports():
 
 
 def test_gpr_chunked():
-    mat = utils.random_sparse(2500, 2000, 0.04, seed=101).astype(np.float32)
-    A = gpr.pack_gpr_chunked(mat, chunk_nnz=50_000)
+    # small on purpose: interpret-mode pallas is Python-per-element and
+    # this test runs the pipeline three ways (folded, stub-guard,
+    # rehydrated-unfolded) — coverage needs chunk COUNT, not nnz
+    mat = utils.random_sparse(1250, 1000, 0.032, seed=101).astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=12_000)
     assert len(A.chunks) >= 3
     # uniform chunks share the stage-1 tile fill -> the fold must engage
     assert A.fold is not None
     assert len(A.fold.tile_counts) == len(A.chunks)
-    x = jnp.asarray(np.random.default_rng(1).random(2000), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).random(1000), jnp.float32)
     y = gpr.spmv_gpr_chunked(A, x, interpret=True)
     ref = mat @ np.asarray(x, np.float64)
     rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))

@@ -191,3 +191,58 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(checkpoint.load_vector(tmp_path / "v.npz")), np.asarray(v)
     )
+
+
+def test_lanczos_extremal_eigs(spd):
+    from scipy.sparse.linalg import eigsh
+    from tpu_spmv.solvers import eigsh_lanczos
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    lmin, lmax = eigsh_lanczos(A, k=60, full_reorth=True)
+    lmax_ref = float(eigsh(spd, k=1, which="LM",
+                           return_eigenvectors=False)[0])
+    lmin_ref = float(eigsh(spd, k=1, which="SM",
+                           return_eigenvectors=False)[0])
+    np.testing.assert_allclose(lmax, lmax_ref, rtol=1e-6)
+    np.testing.assert_allclose(lmin, lmin_ref, rtol=1e-3)
+    assert eigsh_lanczos(A, k=60, which="LM") == pytest.approx(
+        lmax_ref, rel=1e-6)
+
+
+def test_lanczos_no_reorth_lmax(spd):
+    # without re-orthogonalization the TOP of the spectrum still
+    # converges fast (ghost eigenvalues repeat, they don't move the max)
+    from scipy.sparse.linalg import eigsh
+    from tpu_spmv.solvers import eigsh_lanczos
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    lmax = eigsh_lanczos(A, k=60, which="LM", full_reorth=False)
+    lmax_ref = float(eigsh(spd, k=1, which="LM",
+                           return_eigenvectors=False)[0])
+    np.testing.assert_allclose(lmax, lmax_ref, rtol=1e-5)
+
+
+def test_lanczos_matvec_closure(spd):
+    from tpu_spmv.solvers import eigsh_lanczos, lanczos
+
+    A = ts.convert(ts.COO.from_scipy(spd), "dia")
+    n = spd.shape[0]
+    lmax = eigsh_lanczos(lambda v: ts.spmv(A, v), k=40, which="LM", n=n)
+    assert lmax > 0
+    with pytest.raises(ValueError, match="n="):
+        lanczos(lambda v: v, k=5)
+
+
+def test_lanczos_feeds_chebyshev(spd, rng):
+    # the intended pipeline: lanczos window -> chebyshev solve
+    from tpu_spmv.solvers import chebyshev, eigsh_lanczos
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    lmin, lmax = eigsh_lanczos(A, k=80, full_reorth=True)
+    b = rng.standard_normal(spd.shape[0])
+    res = chebyshev(A, jnp.asarray(b), lmin=lmin * 0.99, lmax=lmax * 1.01,
+                    tol=1e-9, maxiter=5000)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(spd.toarray(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5,
+                               atol=1e-7)

@@ -82,12 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve",
                    choices=["cg", "pcg", "chebcg", "bicgstab", "gmres",
-                            "power"],
+                            "power", "lanczos"],
                    default=None,
                    help="run a solver on the matrix (cg / Jacobi-pcg / "
                         "Chebyshev-polynomial-pcg need SPD; bicgstab / "
                         "gmres handle general square matrices; power = "
-                        "dominant eigenpair) on a synthetic right-hand "
+                        "dominant eigenpair; lanczos = both spectrum "
+                        "ends of a symmetric matrix) on a synthetic "
                         "side and report iterations + residual + wall "
                         "time")
     p.add_argument("--tol", type=float, default=1e-6,
@@ -329,6 +330,16 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                     "wall_s": round(_time.time() - t0, 3)}
             msg = (f"    power-iteration: lambda_max = {float(lam):.6g} "
                    f"({line['wall_s']}s)")
+        elif args.solve == "lanczos":
+            from .solvers import eigsh_lanczos
+
+            lmin, lmax = eigsh_lanczos(matvec, k=80, n=coo.shape[0],
+                                       full_reorth=True)
+            line = {"solver": "lanczos", "eigenvalue_min": lmin,
+                    "eigenvalue_max": lmax,
+                    "wall_s": round(_time.time() - t0, 3)}
+            msg = (f"    lanczos(k=80): spectrum in [{lmin:.6g}, "
+                   f"{lmax:.6g}] ({line['wall_s']}s)")
         else:
             rng_b = _np.random.default_rng(args.seed + 1)
             b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)

@@ -161,7 +161,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
              padded_y: bool = False,
              single_level_only: bool = False,
              host_out: dict | None = None,
-             defer_s1: bool = False) -> GPCSR:
+             defer_s1: bool = False,
+             force_rp: int | None = None) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline.
 
     ``targets`` forces the pack's static layout to given sizes so that
@@ -390,6 +391,17 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                        jcap_of_dst=jcap_of_dst)
     if targets is not None:
         plan = _perm.plan_permutation(perm, force_r_p=targets["rp"],
+                                      host_planes=hp)
+    elif force_rp is not None:
+        # pin the stage-1 tile fill (rp128 units) so this pack can join a
+        # chunk-fold with siblings (the fold's ONE concatenated stage-1
+        # grid needs a single static fill; chunks left to their own r_p
+        # search pick different fills — measured 96 vs 104 on power-law —
+        # and the fold silently degrades to per-chunk launches).  Raises
+        # ValueError when the forced fill cannot route; the caller falls
+        # back to the natural pack.
+        hp = {}
+        plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,
                                       host_planes=hp)
     else:
         plan = None
@@ -1243,9 +1255,21 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
                                  side="right")) - 1
         return min(max(hi, lo + 1), nrow)
 
-    def pack_block(lo, hi, depth=0):
+    def pack_block(lo, hi, depth=0, rp_hint=None):
         last = hi - lo <= 1 or depth >= 4
-        ho: dict = {}
+        if rp_hint is not None:
+            # try the sibling chunks' stage-1 tile fill first: a shared
+            # rp128 is what lets the chunk-fold concatenate ONE stage-1
+            # grid.  A forced fill that cannot route just falls through
+            # to the natural pack (fold then degrades, nothing breaks).
+            ho: dict = {}
+            try:
+                p = pack_gpr(csr[lo:hi], dtype=dtype, host_out=ho,
+                             defer_s1=True, force_rp=rp_hint)
+                return [(lo, hi, p, ho)]
+            except ValueError:
+                pass
+        ho = {}
         try:
             # fail BEFORE any coloring/upload when the block needs
             # two-level routing (the feasibility search is pure budget
@@ -1263,15 +1287,22 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
                 ho = {}
                 return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype,
                                           host_out=ho, defer_s1=True), ho)]
-            return (pack_block(lo, mid, depth + 1)
-                    + pack_block(mid, hi, depth + 1))
+            return (pack_block(lo, mid, depth + 1, rp_hint)
+                    + pack_block(mid, hi, depth + 1, rp_hint))
         return [(lo, hi, p, ho)]
 
     blocks = []
     lo = 0
+    rp_hint = None
     while lo < nrow:
         hi = cut(lo, chunk_nnz)
-        blocks.extend(pack_block(lo, hi))
+        new = pack_block(lo, hi, rp_hint=rp_hint)
+        blocks.extend(new)
+        if rp_hint is None:
+            for (_, _, _, h) in new:
+                if "s1" in h:
+                    rp_hint = int(h["s1"]["rp128"])
+                    break
         lo = hi
     splits = [0] + [hi for (_, hi, _, _) in blocks]
     fold = _build_chunk_fold(blocks, nrow) if len(blocks) > 1 else None

@@ -157,6 +157,43 @@ class SpmvPlan:
         return plan_from_matrix(_t(self.matrix), swaps[self.strategy],
                                 self.stats)
 
+    def matvec_differentiable(self, plan_T: "SpmvPlan | None" = None):
+        """A matvec closure differentiable in ``x`` (matrix held fixed).
+
+        Packed Pallas pipelines (gpr / pallas_ell) are not traceable by
+        JAX autodiff; the chain rule only needs ``x_bar = A^T g``, so the
+        closure carries a custom VJP that runs the TRANSPOSE plan's
+        forward kernel — the same trick the streaming-DIA kernels use
+        (`kernels/dia_stream.py:_spmv_sdia_bwd`), lifted to plan level so
+        EVERY strategy becomes differentiable:
+
+        - strategies with an in-place transpose (csr/csc/coo/dia/
+          dia_stream/pdia_stream) get ``plan_T`` automatically;
+        - packed strategies pass one explicitly — ``plan_spmv(mat.T)``
+          packs once at build time (for symmetric matrices pass the plan
+          itself);
+        - matrix-value gradients are NOT provided here (use the
+          streaming-DIA pattern/data VJPs for fitted-stencil learning).
+        """
+        import jax
+
+        if plan_T is None:
+            plan_T = self.transpose()
+        fwd_plan = self
+
+        @jax.custom_vjp
+        def mv(x):
+            return fwd_plan(x)
+
+        def fwd(x):
+            return mv(x), None
+
+        def bwd(_, g):
+            return (plan_T(g),)
+
+        mv.defvjp(fwd, bwd)
+        return mv
+
     def spmm(self, X):
         """Multi-RHS product with the strategy's SpMM kernel (falls back
         to the XLA per-format SpMM for strategies without a native one)."""

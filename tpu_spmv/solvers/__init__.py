@@ -5,6 +5,7 @@ from .cg import CGResult, cg, jacobi_preconditioner, power_iteration
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
 from .dist_cg import DistCGResult, dist_cg
 from .krylov import KrylovResult, bicgstab, gmres
+from .lanczos import LanczosResult, eigsh_lanczos, lanczos
 from .lsqr import LSQRResult, lsqr
 from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 
@@ -12,5 +13,6 @@ __all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
            "DistCGResult", "dist_cg",
            "KrylovResult", "bicgstab", "gmres",
+           "LanczosResult", "lanczos", "eigsh_lanczos",
            "LSQRResult", "lsqr",
            "DistBiCGSTABResult", "dist_bicgstab"]
