@@ -431,6 +431,75 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
     }
     if (!improved) break;
   }
+
+  // ---- element-level repair ----------------------------------------------
+  // The row-level sweeps move WHOLE rows between j-slots; residual
+  // overflows are typically single-digit (3-9 measured on power-law
+  // chunks) and need finer moves: an element may sit in ANY block of its
+  // row's j-window, so (a) move one element of an overloaded (r2, block)
+  // cell to a sibling block with room, or (b) swap the blocks of two
+  // same-row elements with different r2 when that opens room.  Also
+  // clears dst-side (row, block) > 8 cells the greedy spill can create.
+  if (overflow_total() != 0) {
+    std::vector<int32_t> rowblk((size_t)nr * NB, 0);
+    for (int64_t e = 0; e < ne; ++e)
+      rowblk[(size_t)T.rowid[e] * NB + eblock[e]]++;
+    auto cell_bad = [&](int64_t e) {
+      return load[(size_t)T.r2[e] * NB + eblock[e]] > 8 ||
+             rowblk[(size_t)T.rowid[e] * NB + eblock[e]] > 8;
+    };
+    for (int32_t sweep = 0; sweep < 16; ++sweep) {
+      if (overflow_total() == 0) break;
+      bool moved = false;
+      for (int64_t e = 0; e < ne; ++e) {
+        if (!cell_bad(e)) continue;
+        const int32_t rr = T.r2[e];
+        const int64_t r = T.rowid[e];
+        const int32_t bb = eblock[e];
+        const int32_t W = T.rW[r], nbr = W / 8, b0 = rj[r] * nbr;
+        // (a) simple move within the row's window
+        bool done = false;
+        for (int32_t d = 0; d < nbr && !done; ++d) {
+          const int32_t b2 = b0 + d;
+          if (b2 == bb) continue;
+          if (load[(size_t)rr * NB + b2] >= 8) continue;
+          if (rowblk[(size_t)r * NB + b2] >= 8) continue;
+          load[(size_t)rr * NB + bb]--;
+          load[(size_t)rr * NB + b2]++;
+          rowblk[(size_t)r * NB + bb]--;
+          rowblk[(size_t)r * NB + b2]++;
+          eblock[e] = b2;
+          moved = done = true;
+        }
+        if (done) continue;
+        // (b) swap blocks with a same-row element of a different r2
+        for (int64_t i = rstart[r]; i < rstart[r + 1] && !done; ++i) {
+          const int64_t e2 = relems[i];
+          const int32_t rr2 = T.r2[e2];
+          const int32_t b2 = eblock[e2];
+          if (e2 == e || b2 == bb || rr2 == rr) continue;
+          if (load[(size_t)rr * NB + b2] >= 8) continue;   // e -> b2
+          if (load[(size_t)rr2 * NB + bb] >= 8) continue;  // e2 -> bb
+          load[(size_t)rr * NB + bb]--;
+          load[(size_t)rr * NB + b2]++;
+          load[(size_t)rr2 * NB + b2]--;
+          load[(size_t)rr2 * NB + bb]++;
+          eblock[e] = b2;
+          eblock[e2] = bb;
+          moved = done = true;
+        }
+      }
+      if (!moved) break;
+    }
+    // dst-side residue check (rowblk > 8 would fail the block coloring)
+    for (size_t i = 0; i < rowblk.size(); ++i)
+      if (rowblk[i] > 8) {
+        if (getenv("V3_DEBUG"))
+          fprintf(stderr, "v3: residual rowblk overflow (ne=%lld)\n",
+                  (long long)ne);
+        return -1;
+      }
+  }
   if (overflow_total() != 0) {
     if (getenv("V3_DEBUG"))
       fprintf(stderr, "v3: residual overflow %lld (ne=%lld nr=%lld)\n",

@@ -326,3 +326,21 @@ def test_gpr_edge_shapes():
         ref = m.astype(np.float64) @ x
         denom = max(np.abs(ref).max(), 1e-30)
         assert np.abs(y - ref).max() / denom < 2e-5, m.shape
+
+
+def test_gpr_v3_element_repair_widens_envelope():
+    # power-law chunks used to fail v3 routing with single-digit residual
+    # (r2, block) overflows the row-level repair sweeps cannot clear; the
+    # element-level repair (move/swap single elements between blocks of
+    # their row's j-window, native/permute_router.cpp) fixes most of
+    # them.  Routing is deterministic, so the count is a stable gate.
+    mat = utils.power_law(60_000, 60_000, 8, alpha=1.5, seed=6).tocsr()
+    mat = mat.astype(np.float32)
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=120_000)
+    v3 = [c.fused_v3 for c in A.chunks]
+    assert sum(v3) >= len(v3) // 2, v3   # was 0/len before the repair
+    x = jnp.asarray(np.random.default_rng(8).random(60_000), jnp.float32)
+    y = gpr.spmv_gpr_chunked(A, x, interpret=True)
+    ref = mat @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5, rel

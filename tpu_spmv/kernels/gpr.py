@@ -397,12 +397,25 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         # chunk-fold with siblings (the fold's ONE concatenated stage-1
         # grid needs a single static fill; chunks left to their own r_p
         # search pick different fills — measured 96 vs 104 on power-law —
-        # and the fold silently degrades to per-chunk launches).  Raises
-        # ValueError when the forced fill cannot route; the caller falls
-        # back to the natural pack.
-        hp = {}
-        plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,
-                                      host_planes=hp)
+        # and the fold silently degrades to per-chunk launches).  The v3
+        # ladder still runs (with the pinned fill) so hinted siblings keep
+        # the faster stage-3.  Raises ValueError when the forced fill
+        # cannot route at all; the caller falls back to the natural pack.
+        plan = None
+        if v3_meta is not None:
+            for qc in _perm.V3_QCAP_LADDER:
+                try:
+                    hp = {}
+                    plan = _perm.plan_permutation(
+                        perm, host_planes=hp, qcap=qc, v3_meta=v3_meta,
+                        v3_strict=True, force_r_p=force_rp * LANES)
+                    break
+                except (_perm.V3Infeasible, ValueError):
+                    plan = None
+        if plan is None:
+            hp = {}
+            plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,
+                                          host_planes=hp)
     else:
         plan = None
         if v3_meta is not None:
