@@ -568,10 +568,14 @@ def main() -> int:
     sol_dt = time_chained(lambda c: c * 1.0000001 + 1e-9, v, iters=20, warm=2)
     copy_dt = time_chained_pingpong(_pallas_copy, v, iters=20, warm=2)
     stream_gbps = 2 * v.size * 4 / min(sol_dt, copy_dt) / 1e9
+    probes_gbps = {
+        "elementwise": round(2 * v.size * 4 / sol_dt / 1e9, 1),
+        "pallas_copy": round(2 * v.size * 4 / copy_dt / 1e9, 1),
+    }
     measured_peak_gbps = min(stream_gbps, hbm_bandwidth_gbps(dev))
     log(f"bench: measured stream roofline = {stream_gbps:.0f} GB/s "
-        f"(elementwise {2 * v.size * 4 / sol_dt / 1e9:.0f}, pallas copy "
-        f"{2 * v.size * 4 / copy_dt / 1e9:.0f}; "
+        f"(elementwise {probes_gbps['elementwise']:.0f}, pallas copy "
+        f"{probes_gbps['pallas_copy']:.0f}; "
         f"spec {hbm_bandwidth_gbps(dev):.0f})")
     del v
 
@@ -693,14 +697,16 @@ def main() -> int:
     mesh1 = dist.make_mesh(1)
     Ss = dist.ShardedSDIA.build(S, 1)
     xds = Ss.shard_xpad(xp)
+    # same zero-copy protocol as the plain kernel (scale folded into the
+    # data, output donated through the shard_map)
+    Ss_sc = dataclasses.replace(Ss, data=Ss.data * scale)
 
-    def dist_step(vs, Sd):
-        y = dist.spmv_sdia_sharded(mesh1, Sd, vs)
-        return dist.ShardedVector(chunks=y.chunks * scale, starts=vs.starts,
-                                  length=vs.length)
+    def dist_step(vs, dead, Sd):
+        return dist.spmv_sdia_sharded(mesh1, Sd, vs, dead=dead)
 
-    dist_dt = time_chained(dist_step, xds, iters=200, warm=10,
-                           operands=(Ss,))
+    dist_dt = time_chained_pingpong(dist_step, xds, iters=200, warm=10,
+                                    operands=(Ss_sc,))
+    del Ss_sc
     parity = dist_dt / sdia_dt
     log(f"bench: dist(ndev=1, streaming local kernel) "
         f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain sdia kernel)")
@@ -730,6 +736,7 @@ def main() -> int:
             "ms_per_spmv": round(dt * 1e3, 4),
             "model_gbps": round(bw, 2),
             "measured_peak_gbps": round(measured_peak_gbps, 1),
+            "stream_probes_gbps": probes_gbps,
             "roofline_fraction": round(frac, 4),
             "strategy": "pdia_stream",
             "nnz": int(A.nnz),

@@ -172,3 +172,18 @@ def test_cli_solve_lanczos(capsys):
     lz = [r for r in recs if r.get("solver") == "lanczos"]
     # 2-D Laplacian spectrum: (0, 8); grid 10 ends well inside
     assert lz and 0.0 < lz[0]["eigenvalue_min"] < lz[0]["eigenvalue_max"] <= 8.0
+
+
+def test_cli_solve_sor(capsys):
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "laplacian:10", "--formats", "csr",
+               "--iters", "3", "--no-check", "--solve", "sor",
+               "--dtype", "float64", "--tol", "1e-8", "--json"])
+    assert rc == 0
+    import json as _json
+
+    recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    res = [r for r in recs if r.get("solver") == "sor"]
+    assert res and res[0]["converged"] and res[0]["rel_residual"] < 1e-7

@@ -201,3 +201,23 @@ def test_psdia_sharded_rejects_nonperiodic():
     with _pytest.raises(ValueError, match="periodic"):
         dist.plan_dist_spmv(mat, 8, dtype=np.float32,
                             strategy="pdia_stream", sdia_rb=256)
+
+
+def test_sdia_sharded_dead_output_matches(mesh, rng):
+    # the zero-copy chaining hook through shard_map: a donated ShardedVector
+    # aliased to the per-shard output must not change any result
+    import jax
+
+    mat = utils.laplacian_2d(40, 40)
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="dia_stream", sdia_rb=256)
+    from tpu_spmv.dist.planned import spmv_sdia_sharded
+
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    xs = plan.shard_x(x, dtype=np.float32)
+    y_plain = spmv_sdia_sharded(mesh, plan.matrix, xs, interpret=True)
+    dead = jax.tree_util.tree_map(jnp.zeros_like, xs)
+    y_dead = spmv_sdia_sharded(mesh, plan.matrix, xs, interpret=True,
+                               dead=dead)
+    np.testing.assert_array_equal(np.asarray(y_plain.chunks),
+                                  np.asarray(y_dead.chunks))

@@ -246,3 +246,83 @@ def test_lanczos_feeds_chebyshev(spd, rng):
     x_ref = np.linalg.solve(spd.toarray(), b)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5,
                                atol=1e-7)
+
+
+def test_multicolor_valid_and_redblack(spd):
+    from tpu_spmv.solvers import multicolor
+
+    color = multicolor(spd)
+    S = (spd + spd.T).tocsr()
+    # validity: no edge inside a color
+    coo = S.tocoo()
+    off = coo.row != coo.col
+    assert np.all(color[coo.row[off]] != color[coo.col[off]])
+    # a 5-point grid stencil is red-black
+    assert color.max() == 1
+
+
+def test_sor_gauss_seidel_solves(spd, rng):
+    from tpu_spmv.solvers import sor
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    res = sor(A, jnp.asarray(b), host_mat=spd, tol=1e-10, maxiter=3000)
+    assert bool(res.converged)
+    x_ref = np.linalg.solve(spd.toarray(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-8)
+    # over-relaxation accelerates on this SPD model problem
+    res_sor = sor(A, jnp.asarray(b), host_mat=spd, omega=1.5,
+                  tol=1e-10, maxiter=3000)
+    assert bool(res_sor.converged)
+    assert int(res_sor.iterations) < int(res.iterations)
+
+
+def test_sor_matches_color_ordered_gs(spd, rng):
+    # one multicolor sweep == classical GS in color-sorted row order
+    # (simultaneous same-color updates are independent by construction)
+    from tpu_spmv.solvers import multicolor
+    from tpu_spmv.solvers.relaxation import _color_masks, \
+        gauss_seidel_sweep
+
+    n = spd.shape[0]
+    b = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    color = multicolor(spd)
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    d = spd.diagonal()
+    masks = _color_masks(color, jnp.float64)
+    x1 = gauss_seidel_sweep(A, jnp.asarray(b), jnp.asarray(x0),
+                            masks=masks, dinv=jnp.asarray(1.0 / d))
+    # numpy reference: sweep colors in order, simultaneous within color
+    Ad = spd.toarray()
+    x_ref = x0.copy()
+    for c in range(int(color.max()) + 1):
+        rows = np.flatnonzero(color == c)
+        upd = (b[rows] - Ad[rows] @ x_ref + d[rows] * x_ref[rows]) / d[rows]
+        x_ref[rows] = upd
+    np.testing.assert_allclose(np.asarray(x1), x_ref, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_symgs_preconditioner_cuts_cg_iterations(spd, rng):
+    from tpu_spmv.solvers import symgs_preconditioner
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    plain = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    pre = cg(A, jnp.asarray(b), tol=1e-10, maxiter=2000,
+             precond=symgs_preconditioner(A, spd))
+    assert bool(pre.converged)
+    # one symmetric sweep cuts iterations ~2x (measured 43 -> 22)
+    assert int(pre.iterations) < 0.6 * int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(pre.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sor_needs_coloring_source(spd):
+    from tpu_spmv.solvers import sor
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    with pytest.raises(ValueError, match="host_mat"):
+        sor(A, jnp.ones(spd.shape[0]))

@@ -82,13 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve",
                    choices=["cg", "pcg", "chebcg", "bicgstab", "gmres",
-                            "power", "lanczos"],
+                            "power", "lanczos", "sor"],
                    default=None,
                    help="run a solver on the matrix (cg / Jacobi-pcg / "
                         "Chebyshev-polynomial-pcg need SPD; bicgstab / "
                         "gmres handle general square matrices; power = "
                         "dominant eigenpair; lanczos = both spectrum "
-                        "ends of a symmetric matrix) on a synthetic "
+                        "ends of a symmetric matrix; sor = multicolor "
+                        "Gauss-Seidel relaxation) on a synthetic "
                         "side and report iterations + residual + wall "
                         "time")
     p.add_argument("--tol", type=float, default=1e-6,
@@ -364,6 +365,11 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             elif args.solve == "gmres":
                 res = gmres(matvec, b, tol=args.tol, maxiter=10_000,
                             precond=precond)
+            elif args.solve == "sor":
+                from .solvers import sor as _sor
+
+                res = _sor(matvec, b, host_mat=host_mat.tocsr(),
+                           tol=args.tol, maxiter=10_000)
             else:
                 res = cg(matvec, b, tol=args.tol, maxiter=10_000,
                          precond=precond)

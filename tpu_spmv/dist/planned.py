@@ -354,8 +354,8 @@ def _sdia_ring_kernel(left_ref, right_ref, data_ref, xm_ref, x0_ref,
 
 
 def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
-                      *, axis: str = "x", interpret: bool = False
-                      ) -> ShardedVector:
+                      *, axis: str = "x", interpret: bool = False,
+                      dead: ShardedVector | None = None) -> ShardedVector:
     """Row-sharded streaming-DIA SpMV in padded row space.
 
     Each shard ships one ``h``-sized sliver (``h`` = the smallest aligned
@@ -365,7 +365,11 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
     and never materializing an ``[own | halo]`` concatenation holds the
     per-shard HBM traffic byte-for-byte at the single-chip kernel's
     (measured: the earlier whole-tile-halo + concatenated-x variant ran
-    1.37x the plain kernel; this one ~1.0x)."""
+    1.37x the plain kernel; this one ~1.0x).
+
+    ``dead``, if given, is a donated ShardedVector the per-shard output
+    is written into (never read) — the zero-copy chaining hook (see
+    ``kernels.dia_stream._dead_out``) for distributed solver loops."""
     from ..kernels.dia_stream import _halo_size
 
     ndev = A.ndev
@@ -378,7 +382,7 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
     hb = rb // h
     THloc = Cp // h
 
-    def run_body(A_loc: ShardedSDIA, x_loc: ShardedVector):
+    def run_body(A_loc: ShardedSDIA, x_loc: ShardedVector, *dead_loc):
         xc = x_loc.chunks[0]                         # [Cp]
         tail = jax.lax.slice_in_dim(xc, Cp - h, Cp)
         head = jax.lax.slice_in_dim(xc, 0, h)
@@ -389,33 +393,49 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
             to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
             left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
             right = lax.ppermute(head, axis, to_left)   # right nbr's head
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
+            pl.BlockSpec((nd, rb), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,),
+                         lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,),
+                         lambda j: (jnp.clip((j + 1) * hb, 0,
+                                             THloc - 1),),
+                         memory_space=pltpu.VMEM),
+        ]
+        kern = functools.partial(_sdia_ring_kernel, offsets=offsets,
+                                 rb=rb, h=h, tlast=Tloc - 1)
+        ops = (left, right, A_loc.data[0], xc, xc, xc)
+        extra = {}
+        if dead_loc:
+            kern_inner = kern
+
+            def kern(*refs):
+                kern_inner(*refs[:-2], refs[-1])
+
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+            ops = ops + (dead_loc[0].chunks[0],)
+            extra = {"input_output_aliases": {6: 0}}
         y = pl.pallas_call(
-            functools.partial(_sdia_ring_kernel, offsets=offsets, rb=rb,
-                              h=h, tlast=Tloc - 1),
+            kern,
             out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.data.dtype),
             grid=(Tloc,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
-                pl.BlockSpec((nd, rb), lambda j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h,),
-                             lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rb,), lambda j: (j,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h,),
-                             lambda j: (jnp.clip((j + 1) * hb, 0,
-                                                 THloc - 1),),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((rb,), lambda j: (j,),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(left, right, A_loc.data[0], xc, xc, xc)
+            **extra,
+        )(*ops)
         return y[None]
 
-    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis), P(axis)),
+    args = (A, x) if dead is None else (A, x, dead)
+    smap_kwargs = dict(mesh=mesh,
+                       in_specs=(P(axis),) * len(args),
                        out_specs=P(axis))
     try:
         # pallas_call outputs carry no varying-mesh-axis annotation; turn
@@ -423,7 +443,7 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
         run = _shard_map(run_body, check_vma=False, **smap_kwargs)
     except TypeError:  # pragma: no cover
         run = _shard_map(run_body, check_rep=False, **smap_kwargs)
-    y = run(A, x)
+    y = run(*args)
     return ShardedVector(chunks=y, starts=A.pad_plan.starts,
                          length=A.npad)
 

@@ -8,6 +8,8 @@ from .krylov import KrylovResult, bicgstab, gmres
 from .lanczos import LanczosResult, eigsh_lanczos, lanczos
 from .lsqr import LSQRResult, lsqr
 from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
+from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
+                         symgs_preconditioner)
 
 __all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
@@ -15,4 +17,6 @@ __all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
            "KrylovResult", "bicgstab", "gmres",
            "LanczosResult", "lanczos", "eigsh_lanczos",
            "LSQRResult", "lsqr",
-           "DistBiCGSTABResult", "dist_bicgstab"]
+           "DistBiCGSTABResult", "dist_bicgstab",
+           "SORResult", "multicolor", "gauss_seidel_sweep", "sor",
+           "symgs_preconditioner"]
