@@ -10,6 +10,7 @@ from .spmm import (
 )
 from .auto import plan_spmv, analyze, SpmvPlan
 from .transpose import transpose
+from .shift import shift_diagonal
 from .blas1 import (
     dot, axpby, axpy, add2scaled, fill, fill_random, scale, shift,
     norm2, check_vector, allclose,
@@ -21,6 +22,7 @@ __all__ = [
     "spmm", "spmm_coo", "spmm_csr", "spmm_csc", "spmm_ell", "spmm_dia",
     "spmm_bsr", "spmm_bdia",
     "plan_spmv", "analyze", "SpmvPlan", "transpose",
+    "shift_diagonal",
     "dot", "axpby", "axpy", "add2scaled", "fill", "fill_random", "scale",
     "shift", "norm2", "check_vector", "allclose",
 ]
