@@ -162,9 +162,12 @@ def bench_spmm_configs(A_dia, xp_scale) -> dict:
 
     NRHS = 32
     # nrhs-aware tile auto-selection: the multi-RHS panels shift the
-    # VMEM optimum (measured 19.5 -> 13.7 ms going rb 4096 -> 65536)
+    # VMEM optimum (measured 19.5 -> 13.7 ms going rb 4096 -> 65536).
+    # The PSDIA pack adopts the SDIA tile so both share one padded row
+    # space (the two auto-tuners choosing different rb would otherwise
+    # break the shared-Xt comparison mid-run).
     S32 = dia_stream.pack_sdia(A_dia, nrhs=NRHS)
-    P32 = dia_stream.pack_psdia(A_dia, period=GRID, nrhs=NRHS)
+    P32 = dia_stream.pack_psdia(A_dia, period=GRID, rb=S32.rb)
     assert S32.npad == P32.npad and S32.L == P32.L
     n = A_dia.shape[0]
     # operands live in TRANSPOSED [nrhs, n] layout: [n, 32] would pad
@@ -410,9 +413,9 @@ def bench_cg_big(PS) -> dict:
     # main diagonal: (A + I) p becomes ONE kernel pass instead of
     # kernel + elementwise add (the add costs a full extra read+read+
     # write sweep, ~200 MB/iter at this size)
-    d0 = PS.offsets.index(0)
-    PSI = dataclasses.replace(
-        PS, pattern=PS.pattern.at[d0].add(jnp.float32(1.0)))
+    from tpu_spmv.ops.shift import shift_diagonal
+
+    PSI = shift_diagonal(PS, 1.0)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run_k(Ad, bv, k):
@@ -669,16 +672,24 @@ def main() -> int:
     bw = nbytes / dt / 1e9
     # the stream probes jitter ~±10% run-to-run; when the headline kernel
     # itself moves bytes faster than the probe did, the kernel IS the
-    # best stream this machine demonstrated — use it as the denominator
-    # (fraction saturates at 1.0, never inflates past it)
+    # best stream this machine demonstrated — use it as the HEADLINE
+    # denominator.  The sdia >=70% gate keeps the PROBE-based peak (its
+    # pass/fail must not depend on which probe run was slower).  Past the
+    # spec bandwidth there is nothing honest left to divide by: report
+    # the raw fraction > 1 with a loud warning (it means the byte model
+    # is wrong or VMEM residency crept in — surface it, don't clamp).
+    probe_peak_gbps = measured_peak_gbps
     if bw > measured_peak_gbps:
         log(f"bench: headline kernel ({bw:.0f} GB/s) beat the stream "
             f"probes ({measured_peak_gbps:.0f}) — using it as the peak")
         measured_peak_gbps = min(bw, hbm_bandwidth_gbps(dev))
     frac = bw / measured_peak_gbps
+    if frac > 1.02:
+        log(f"bench: WARNING headline fraction {frac:.2f} > 1 — model "
+            f"bytes exceed spec bandwidth; check for VMEM residency")
     # the matrix-streaming gate: SDIA against the explicit-DIA byte model
     sdia_bw = spmv_bytes(A, jnp.float32) / sdia_dt / 1e9
-    sdia_frac = sdia_bw / measured_peak_gbps
+    sdia_frac = sdia_bw / probe_peak_gbps
     log(f"### CSR TPU GFLOPS = {gflops:.5f}")
     log(f"bench: psdia {dt * 1e3:.3f} ms/iter | {bw:.1f} GB/s | "
         f"{100 * frac:.1f}% of measured roofline | strategy=pdia_stream | "

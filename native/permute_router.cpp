@@ -538,6 +538,30 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
 
 extern "C" {
 
+// Greedy graph coloring over a symmetric CSR pattern (multicolor
+// Gauss-Seidel, solvers/relaxation.py): color[i] = smallest color absent
+// among already-colored neighbors.  O(nnz); the Python per-row loop this
+// replaces took minutes at 16.7M rows.  Returns the color count.
+int32_t greedy_color(const int64_t* indptr, const int32_t* indices,
+                     int64_t n, int32_t* color) {
+  std::vector<int64_t> mark(64, -1);   // mark[c] == i: color c is taken
+  int32_t ncolors = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+      const int32_t c = color[indices[j]];
+      if (c >= 0) {
+        if ((size_t)c >= mark.size()) mark.resize(2 * (size_t)c + 1, -1);
+        mark[c] = i;
+      }
+    }
+    int32_t c = 0;
+    while ((size_t)c < mark.size() && mark[c] == i) ++c;
+    color[i] = c;
+    if (c + 1 > ncolors) ncolors = c + 1;
+  }
+  return ncolors;
+}
+
 // v3 routing over all destination tiles (OpenMP).  Element arrays are
 // grouped by tile via eoff; row tables via roff.  Writes lane[e]; returns
 // 0 on success or 1-based index of the first infeasible tile.

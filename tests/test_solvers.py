@@ -282,8 +282,7 @@ def test_sor_matches_color_ordered_gs(spd, rng):
     # one multicolor sweep == classical GS in color-sorted row order
     # (simultaneous same-color updates are independent by construction)
     from tpu_spmv.solvers import multicolor
-    from tpu_spmv.solvers.relaxation import _color_masks, \
-        gauss_seidel_sweep
+    from tpu_spmv.solvers.relaxation import gauss_seidel_sweep
 
     n = spd.shape[0]
     b = rng.standard_normal(n)
@@ -291,9 +290,10 @@ def test_sor_matches_color_ordered_gs(spd, rng):
     color = multicolor(spd)
     A = ts.convert(ts.COO.from_scipy(spd), "csr")
     d = spd.diagonal()
-    masks = _color_masks(color, jnp.float64)
     x1 = gauss_seidel_sweep(A, jnp.asarray(b), jnp.asarray(x0),
-                            masks=masks, dinv=jnp.asarray(1.0 / d))
+                            color=jnp.asarray(color, jnp.int32),
+                            ncolors=int(color.max()) + 1,
+                            dinv=jnp.asarray(1.0 / d))
     # numpy reference: sweep colors in order, simultaneous within color
     Ad = spd.toarray()
     x_ref = x0.copy()
@@ -321,8 +321,42 @@ def test_symgs_preconditioner_cuts_cg_iterations(spd, rng):
 
 
 def test_sor_needs_coloring_source(spd):
-    from tpu_spmv.solvers import sor
+    from tpu_spmv.solvers import multicolor, sor
 
     A = ts.convert(ts.COO.from_scipy(spd), "csr")
     with pytest.raises(ValueError, match="host_mat"):
         sor(A, jnp.ones(spd.shape[0]))
+    # color= without dinv= must ALSO raise cleanly (not AttributeError)
+    with pytest.raises(ValueError, match="BOTH"):
+        sor(A, jnp.ones(spd.shape[0]), color=multicolor(spd))
+    # ... and the precomputed color+dinv path works
+    res = sor(A, jnp.ones(spd.shape[0]), color=multicolor(spd),
+              dinv=1.0 / spd.diagonal(), tol=1e-8, maxiter=3000)
+    assert bool(res.converged)
+
+
+def test_multicolor_native_matches_python(spd):
+    from tpu_spmv.solvers import multicolor
+    from tpu_spmv.solvers.relaxation import _greedy_color_py
+    import scipy.sparse as sp
+
+    S = (sp.csr_matrix(spd) + sp.csr_matrix(spd).T).tocsr()
+    S.sort_indices()
+    ref = _greedy_color_py(S.indptr, S.indices, S.shape[0])
+    np.testing.assert_array_equal(multicolor(spd), ref)
+
+
+def test_lanczos_exact_breakdown_truncates():
+    # v0 = e1 on a diagonal matrix breaks down at step 1 (invariant
+    # subspace); the padded zero steps must NOT inject a spurious
+    # eigenvalue 0 (code-review r3 finding)
+    import scipy.sparse as sp
+    from tpu_spmv.solvers import eigsh_lanczos
+
+    D = sp.diags([np.array([2.0, 3.0, 4.0, 5.0])], [0]).tocsr()
+    A = ts.convert(ts.COO.from_scipy(D.tocoo()), "csr")
+    e1 = np.zeros(4)
+    e1[0] = 1.0
+    lmin, lmax = eigsh_lanczos(A, k=8, v0=jnp.asarray(e1))
+    assert lmin == pytest.approx(2.0, rel=1e-10)
+    assert lmax == pytest.approx(2.0, rel=1e-10)

@@ -348,10 +348,11 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             if args.solve in ("pcg", "chebcg"):
                 # Jacobi from the HOST diagonal: packed strategy formats
                 # don't support the convert() the format-based helper uses
-                d = np.asarray(host_mat.diagonal(), dtype=np.float64)
-                inv = jnp.asarray(
-                    np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0),
-                    dtype=dtype)
+                from .solvers.cg import safe_dinv
+
+                inv = safe_dinv(
+                    np.asarray(host_mat.diagonal(), dtype=np.float64),
+                    dtype)
                 if args.solve == "chebcg":
                     from .solvers import chebyshev_preconditioner
 

@@ -410,8 +410,15 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                         perm, host_planes=hp, qcap=qc, v3_meta=v3_meta,
                         v3_strict=True, force_r_p=force_rp * LANES)
                     break
-                except (_perm.V3Infeasible, ValueError):
+                except _perm.V3Infeasible:
                     plan = None
+                except ValueError:
+                    # budget infeasible at the forced fill — lower qcap
+                    # only inflates rows further (same reasoning as the
+                    # natural ladder); stop probing, let the v2 attempt
+                    # below raise to the caller's natural-pack fallback
+                    plan = None
+                    break
         if plan is None:
             hp = {}
             plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,

@@ -32,6 +32,27 @@ from ..formats import COO, CSR, DIA
 __all__ = ["shift_diagonal"]
 
 
+def _add_or_insert_diag(A, field: str, shift_row: jax.Array, n: int):
+    """Shared diagonal-row editing for the DIA-family formats: add
+    ``shift_row`` onto the main-diagonal row of ``getattr(A, field)``,
+    or splice it in at the sorted offset position when the format stores
+    no main diagonal (``nnz`` grows by ``n``)."""
+    import dataclasses
+
+    data = getattr(A, field)
+    offs = list(A.offsets)
+    if 0 in offs:
+        d0 = offs.index(0)
+        return dataclasses.replace(
+            A, **{field: data.at[d0].add(shift_row)})
+    pos = int(np.searchsorted(np.asarray(offs), 0))
+    stacked = jnp.concatenate([data[:pos], shift_row[None, :], data[pos:]])
+    return dataclasses.replace(
+        A, nnz=A.nnz + n,
+        offsets=tuple(offs[:pos]) + (0,) + tuple(offs[pos:]),
+        **{field: stacked})
+
+
 def shift_diagonal(A, c):
     """Return ``A + c·I`` in the same format as ``A`` (device-side)."""
     import dataclasses
@@ -44,51 +65,25 @@ def shift_diagonal(A, c):
 
     if isinstance(A, DIA):
         c = jnp.asarray(c, A.data.dtype)
-        offs = list(A.offsets)
-        if 0 in offs:
-            d0 = offs.index(0)
-            return dataclasses.replace(A, data=A.data.at[d0].add(c))
-        # append a main diagonal (sorted offset order, like convert())
-        pos = int(np.searchsorted(np.asarray(offs), 0))
-        row = jnp.full((1, A.data.shape[1]), c, A.data.dtype)
-        data = jnp.concatenate([A.data[:pos], row, A.data[pos:]])
-        return dataclasses.replace(
-            A, data=data, offsets=tuple(offs[:pos]) + (0,) + tuple(offs[pos:]),
-            nnz=A.nnz + n)
+        return _add_or_insert_diag(
+            A, "data", jnp.full((A.data.shape[1],), c, A.data.dtype), n)
 
     if isinstance(A, SDIA):
         c = jnp.asarray(c, A.data.dtype)
-        offs = list(A.offsets)
         # only real rows [L, L+n): the pad-tile structural zeros are what
         # make the kernel's clamped edge fetches harmless
         real = ((jnp.arange(A.npad) >= A.L)
                 & (jnp.arange(A.npad) < A.L + n)).astype(A.data.dtype)
-        if 0 in offs:
-            d0 = offs.index(0)
-            return dataclasses.replace(A, data=A.data.at[d0].add(c * real))
-        pos = int(np.searchsorted(np.asarray(offs), 0))
-        row = (c * real)[None, :]
-        data = jnp.concatenate([A.data[:pos], row, A.data[pos:]])
-        return dataclasses.replace(
-            A, data=data, offsets=tuple(offs[:pos]) + (0,) + tuple(offs[pos:]),
-            nnz=A.nnz + n)
+        return _add_or_insert_diag(A, "data", c * real, n)
 
     if isinstance(A, PSDIA):
-        c = jnp.asarray(c, A.pattern.dtype)
-        offs = list(A.offsets)
         # the kernel's row-validity mask handles boundaries, so the
         # pattern row shifts uniformly (the diagonal of A + cI is
         # periodic with the same period)
-        if 0 in offs:
-            d0 = offs.index(0)
-            return dataclasses.replace(A, pattern=A.pattern.at[d0].add(c))
-        pos = int(np.searchsorted(np.asarray(offs), 0))
-        row = jnp.full((1, A.pattern.shape[1]), c, A.pattern.dtype)
-        pattern = jnp.concatenate([A.pattern[:pos], row, A.pattern[pos:]])
-        return dataclasses.replace(
-            A, pattern=pattern,
-            offsets=tuple(offs[:pos]) + (0,) + tuple(offs[pos:]),
-            nnz=A.nnz + n)
+        c = jnp.asarray(c, A.pattern.dtype)
+        return _add_or_insert_diag(
+            A, "pattern",
+            jnp.full((A.pattern.shape[1],), c, A.pattern.dtype), n)
 
     def _shift_entries(rows, cols, data):
         # exactly ONE stored diagonal entry per row: fewer means the shift

@@ -25,7 +25,8 @@ from jax import lax
 
 from ..ops.spmv import spmv
 
-__all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration"]
+__all__ = ["CGResult", "cg", "jacobi_preconditioner",
+           "power_iteration", "safe_dinv"]
 
 
 class CGResult(NamedTuple):
@@ -41,14 +42,22 @@ def _as_matvec(A) -> Callable:
     return lambda v: spmv(A, v)
 
 
+def safe_dinv(d, dtype=None):
+    """Elementwise safe inverse of a diagonal: zero entries invert to 1
+    (the conventional Jacobi/GS fallback — a zero diagonal row gets an
+    identity update instead of an inf/NaN).  Accepts host numpy or
+    device arrays; the one place this policy lives."""
+    d = jnp.asarray(d, dtype) if dtype is not None else jnp.asarray(d)
+    return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+
 def jacobi_preconditioner(A) -> Callable:
     """M⁻¹ = 1/diag(A) — uses the reference's "for SymGS" diagonal
     (`/root/reference/include/matrix.h:36`), row-aligned (Q7 fixed)."""
     from ..formats import CSR, convert
 
     csr = A if isinstance(A, CSR) else convert(A, "csr")
-    d = csr.diagonal()
-    inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+    inv = safe_dinv(csr.diagonal())
     return lambda r: inv * r
 
 

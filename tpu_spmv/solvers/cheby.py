@@ -146,10 +146,10 @@ def chebyshev_preconditioner(A, *, degree: int = 4,
 
     if dinv is None:
         from ..formats import CSR, convert
+        from .cg import safe_dinv
 
         csr = A if isinstance(A, CSR) else convert(A, "csr")
-        d = csr.diagonal()
-        dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+        dinv = safe_dinv(csr.diagonal())
         n = csr.shape[0]
         matvec = lambda v: spmv(csr, v)
     else:

@@ -56,9 +56,12 @@ def lanczos(A, *, k: int = 50, v0=None, key=None, n: int | None = None,
     Returns the tridiagonal coefficients; the basis ``V`` only when
     ``full_reorth=True`` (it must be stored for the re-orthogonalization
     anyway).  Early breakdown (invariant subspace found: ``beta ~ 0``)
-    is handled by continuing with a zero vector — the tridiagonal simply
-    repeats converged Ritz values, which is harmless for extremal
-    estimates and keeps the scan shape static (no data-dependent exit).
+    continues the scan with a zero vector to keep the shape static; the
+    steps past the breakdown carry ``alpha = 0`` and MUST be truncated
+    before eigensolving the tridiagonal (a zero row would inject a
+    spurious eigenvalue 0) — :func:`eigsh_lanczos` does this; direct
+    consumers of :class:`LanczosResult` should cut at the first
+    ``beta <= ~1e-12`` themselves.
     """
     matvec = _as_matvec(A)
     n = A.shape[0] if hasattr(A, "shape") else n
@@ -143,6 +146,14 @@ def eigsh_lanczos(A, *, k: int = 50, which: str = "both", v0=None,
     res = lanczos(A, k=k, v0=v0, key=key, n=n, full_reorth=full_reorth)
     a = np.asarray(res.alphas, dtype=np.float64)
     b = np.asarray(res.betas, dtype=np.float64)
+    # truncate at exact breakdown (invariant subspace): steps past a
+    # ~zero beta carry alpha = 0 and would inject a spurious eigenvalue
+    # 0 into an SPD spectrum (e.g. lanczos(diag(2,3,4), v0=e1) breaks
+    # down at step 1 with T = diag(2, 0, 0, ...))
+    brk = np.flatnonzero(np.abs(b) <= 1e-12)
+    if len(brk):
+        cut = int(brk[0]) + 1
+        a, b = a[:cut], b[:cut - 1]
     T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
     w = np.linalg.eigvalsh(T)
     if which == "LM":

@@ -15,23 +15,26 @@ classical GS under the color-sorted row permutation, so convergence
 theory carries over (and the result is deterministic, unlike the
 reference's OpenMP-atomic scatter kernels).
 
-For a color ``c`` (mask ``m_c``), using that same-color off-diagonals
-are zero::
+For a color ``c``, using that same-color off-diagonals are zero::
 
     (A x)_c = A_{c, not-c} x_{not-c} + d_c * x_c
     x_c    <- (1 - omega) x_c + omega * D_c^{-1} (b_c - (A x)_c + d_c x_c)
 
 i.e. one FULL SpMV per color (the planner's fast kernel — no row-subset
-kernels needed) and a ``jnp.where`` update.  Grid stencils (5-point
-Poisson) 2-color (red-black); general matrices get a greedy host
-coloring over the symmetrized pattern.
+kernels needed) and a ``jnp.where`` update keyed on a device-resident
+``int32`` color vector (never materialized as dense per-color masks —
+power-law patterns color into the hundreds, which would make a
+``[ncolors, n]`` mask array multi-GB).  Grid stencils (5-point Poisson)
+2-color (red-black); general matrices get a greedy coloring of the
+symmetrized pattern in ``native/permute_router.cpp:greedy_color``
+(O(nnz) C++; the per-row Python loop it replaces took minutes at bench
+scale), with a pure-Python fallback when the .so is not built.
 
 Cost per forward sweep: ``ncolors`` SpMVs.  SymGS (forward + backward)
-is ``2 * ncolors``.  Compare :func:`~tpu_spmv.solvers.chebyshev`:
-degree-k Chebyshev costs k SpMVs with no masked updates — on this
-machine Chebyshev usually wins as a *preconditioner*, but multicolor GS
-is the standard multigrid smoother and the reference's named intent, so
-both live here.
+is ``2 * ncolors``, so high-color patterns are better served by
+:func:`~tpu_spmv.solvers.chebyshev` (k SpMVs for a degree-k smoother
+regardless of structure); multicolor GS is the standard multigrid
+smoother and the reference's named intent, so both live here.
 
 No reference-code counterpart to copy (the algorithms are public:
 Saad §12.4 multicoloring; Golub & Van Loan §11.2 SOR).
@@ -47,27 +50,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .cg import _as_matvec
+from .cg import _as_matvec, safe_dinv
 
 __all__ = ["multicolor", "gauss_seidel_sweep", "sor", "SORResult",
            "symgs_preconditioner"]
 
 
-def multicolor(host_mat) -> np.ndarray:
-    """Greedy multicoloring of a scipy sparse matrix's SYMMETRIZED
-    pattern: returns ``color[i] in [0, ncolors)`` with no edge inside a
-    color.  Grid stencils come out 2-colored (red-black); general sparse
-    patterns get ~(max degree + 1) colors worst-case, far fewer
-    typically.  Host-side, runs once per matrix (O(nnz))."""
-    import scipy.sparse as sp
-
-    A = sp.csr_matrix(host_mat)
-    n = A.shape[0]
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("multicolor needs a square matrix")
-    S = (A + A.T).tocsr()          # symmetrize: GS couples both ways
-    S.sort_indices()
-    indptr, indices = S.indptr, S.indices
+def _greedy_color_py(indptr, indices, n) -> np.ndarray:
+    """Pure-Python fallback for :func:`multicolor` (native .so absent)."""
     color = np.full(n, -1, dtype=np.int32)
     for i in range(n):
         nb = indices[indptr[i]:indptr[i + 1]]
@@ -79,36 +69,67 @@ def multicolor(host_mat) -> np.ndarray:
     return color
 
 
-def _color_masks(color: np.ndarray, dtype) -> jax.Array:
-    """``[ncolors, n]`` {0,1} masks, device-resident."""
-    ncolors = int(color.max()) + 1 if len(color) else 1
-    return jnp.asarray(
-        (color[None, :] == np.arange(ncolors)[:, None]).astype(dtype))
+def multicolor(host_mat) -> np.ndarray:
+    """Greedy multicoloring of a scipy sparse matrix's SYMMETRIZED
+    pattern: returns ``color[i] in [0, ncolors)`` with no edge inside a
+    color.  Grid stencils come out 2-colored (red-black); general sparse
+    patterns get at most (max symmetrized degree + 1) colors.  Host-side,
+    runs once per matrix; O(nnz) in C++
+    (``native/permute_router.cpp:greedy_color``)."""
+    import ctypes
+
+    import scipy.sparse as sp
+
+    from ..kernels.permute import _native_router
+
+    A = sp.csr_matrix(host_mat)
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("multicolor needs a square matrix")
+    S = (A + A.T).tocsr()          # symmetrize: GS couples both ways
+    S.sort_indices()
+    indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    lib = _native_router()
+    if lib is not None and hasattr(lib, "greedy_color"):
+        if not getattr(lib, "_gc_sig", False):
+            I32 = ctypes.POINTER(ctypes.c_int32)
+            I64 = ctypes.POINTER(ctypes.c_int64)
+            lib.greedy_color.restype = ctypes.c_int32
+            lib.greedy_color.argtypes = [I64, I32, ctypes.c_int64, I32]
+            lib._gc_sig = True
+        color = np.full(n, -1, dtype=np.int32)
+        lib.greedy_color(indptr.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_int64)),
+                         indices.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_int32)),
+                         n, color.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_int32)))
+        return color
+    return _greedy_color_py(indptr, indices, n)
 
 
-def gauss_seidel_sweep(A, b, x, *, masks: jax.Array, dinv: jax.Array,
-                       omega: float = 1.0, symmetric: bool = False
-                       ) -> jax.Array:
+def gauss_seidel_sweep(A, b, x, *, color: jax.Array, ncolors: int,
+                       dinv: jax.Array, omega: float = 1.0,
+                       symmetric: bool = False) -> jax.Array:
     """One multicolor Gauss–Seidel (``omega=1``) / SOR sweep.
 
-    ``masks`` is the ``[ncolors, n]`` output of :func:`_color_masks` (via
-    :func:`sor`'s builder or directly), ``dinv`` the inverse diagonal.
-    ``symmetric=True`` appends the reverse-order half (SymGS).  ``A`` may
-    be a format instance or a matvec closure — each color costs one full
-    SpMV (same-color couplings are zero by construction, so the full
-    ``A x`` restricted to the color equals its off-color row sums plus
-    ``d_c x_c``)."""
+    ``color`` is the device-resident int32 vector from
+    :func:`multicolor` (``ncolors`` static), ``dinv`` the inverse
+    diagonal.  ``symmetric=True`` appends the reverse-order half
+    (SymGS).  ``A`` may be a format instance or a matvec closure — each
+    color costs one full SpMV (same-color couplings are zero by
+    construction, so the full ``A x`` restricted to the color equals its
+    off-color row sums plus ``d_c x_c``)."""
     matvec = _as_matvec(A)
-    ncolors = int(masks.shape[0])
     om = jnp.asarray(omega, x.dtype)
 
     def half(x, order):
         for c in order:
-            m = masks[c]
             ax = matvec(x)
             # b - A_{c,~c} x_{~c}  ==  b - (A x - d * x)  on color rows
             gs = dinv * (b - ax) + x
-            x = x + m * om * (gs - x)
+            x = jnp.where(color == c, x + om * (gs - x), x)
         return x
 
     x = half(x, range(ncolors))
@@ -129,27 +150,30 @@ def sor(A, b, *, host_mat=None, color=None, dinv=None, omega: float = 1.0,
         symmetric: bool = False) -> SORResult:
     """Multicolor SOR (``omega=1`` → Gauss–Seidel) solve of ``A x = b``.
 
-    Needs the host scipy matrix (or a precomputed ``color`` array +
-    ``dinv``) for the one-time coloring.  The whole iteration is one
-    ``lax.while_loop``; each sweep costs ``ncolors`` SpMVs
+    Needs the host scipy matrix for the one-time coloring + diagonal, or
+    precomputed ``color`` AND ``dinv`` arrays.  The whole iteration is
+    one ``lax.while_loop``; each sweep costs ``ncolors`` SpMVs
     (``2 x`` with ``symmetric=True``).
     """
+    if (color is None or dinv is None) and host_mat is None:
+        raise ValueError("sor needs host_mat= (for coloring + diagonal) "
+                         "or BOTH color= and dinv=")
     if color is None:
-        if host_mat is None:
-            raise ValueError("sor needs host_mat= (for coloring) or "
-                             "color= + dinv=")
         color = multicolor(host_mat)
+    color = np.asarray(color)
+    ncolors = int(color.max()) + 1 if len(color) else 1
     b = jnp.asarray(b)
-    masks = _color_masks(np.asarray(color), b.dtype)
+    color_dev = jnp.asarray(color, jnp.int32)
     if dinv is None:
-        d = np.asarray(host_mat.diagonal(), dtype=np.float64)
-        dinv = jnp.asarray(
-            np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0), b.dtype)
+        dinv = safe_dinv(np.asarray(host_mat.diagonal(), np.float64),
+                         b.dtype)
+    else:
+        dinv = jnp.asarray(dinv, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     matvec = _as_matvec(A)
 
     @jax.jit
-    def run(b, x0, masks, dinv):
+    def run(b, x0, color_dev, dinv):
         limit = tol * jnp.maximum(jnp.sqrt(jnp.vdot(b, b)), 1e-300)
 
         def cond(st):
@@ -158,7 +182,8 @@ def sor(A, b, *, host_mat=None, color=None, dinv=None, omega: float = 1.0,
 
         def body(st):
             x, it, _ = st
-            x = gauss_seidel_sweep(A, b, x, masks=masks, dinv=dinv,
+            x = gauss_seidel_sweep(A, b, x, color=color_dev,
+                                   ncolors=ncolors, dinv=dinv,
                                    omega=omega, symmetric=symmetric)
             r = b - matvec(x)
             return (x, it + 1, jnp.sqrt(jnp.vdot(r, r)))
@@ -168,7 +193,7 @@ def sor(A, b, *, host_mat=None, color=None, dinv=None, omega: float = 1.0,
             cond, body, (x0, jnp.int32(0), jnp.sqrt(jnp.vdot(r0, r0))))
         return x, it, rn, rn <= limit
 
-    x, it, rn, ok = run(b, x0, masks, dinv)
+    x, it, rn, ok = run(b, x0, color_dev, dinv)
     return SORResult(x=x, iterations=it, residual_norm=rn, converged=ok)
 
 
@@ -185,25 +210,19 @@ def symgs_preconditioner(A, host_mat, *, sweeps: int = 1,
     (zero extra dots either way, but fewer SpMVs per unit of smoothing).
     """
     color = multicolor(host_mat)
+    ncolors = int(color.max()) + 1 if len(color) else 1
+    color_dev = jnp.asarray(color, jnp.int32)
     d = np.asarray(host_mat.diagonal(), dtype=np.float64)
-    masks_np = color
-
-    def build(r):
-        masks = _color_masks(masks_np, r.dtype)
-        dinv = jnp.asarray(
-            np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0), r.dtype)
-        return masks, dinv
-
     cache = {}
 
     def apply(r):
-        key = r.dtype
-        if key not in cache:
-            cache[key] = build(r)
-        masks, dinv = cache[key]
+        if r.dtype not in cache:
+            cache[r.dtype] = safe_dinv(d, r.dtype)
+        dinv = cache[r.dtype]
         z = jnp.zeros_like(r)
         for _ in range(sweeps):
-            z = gauss_seidel_sweep(A, r, z, masks=masks, dinv=dinv,
+            z = gauss_seidel_sweep(A, r, z, color=color_dev,
+                                   ncolors=ncolors, dinv=dinv,
                                    omega=omega, symmetric=True)
         return z
 
