@@ -468,3 +468,18 @@ def test_sdia_mixed_precision_bf16_data():
     assert Yt.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(Yt[0][S.L:S.L + n]),
                                np.asarray(y), rtol=1e-6, atol=1e-6)
+
+
+def test_psdia_3d_laplacian():
+    # 7-point 3-D stencil: offsets 0, ±1, ±nz, ±ny·nz — every diagonal
+    # periodic with period ny·nz, so the periodic kernel applies exactly
+    # as in 2-D (detect_period must find it unaided)
+    m = utils.laplacian_3d(10)                      # 1000 rows
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    P = dia_stream.pack_psdia(dia)                  # auto-detect
+    assert P.period in (100, 10)                    # ny*nz (or smaller)
+    x = jnp.asarray(np.random.default_rng(12).random(1000), jnp.float32)
+    y = dia_stream.spmv_psdia(P, x, interpret=True)
+    ref = m.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5, rel

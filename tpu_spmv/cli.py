@@ -31,6 +31,8 @@ def _parse_synthetic(spec: str):
     args = [int(a) for a in argstr.split(",")] if argstr else []
     gens = {
         "laplacian": lambda n=256, m=None: utils.laplacian_2d(n, m),
+        "laplacian3d": lambda n=32, m=None, k=None: utils.laplacian_3d(
+            n, m, k),
         "random": lambda n=4096, m=None, d=None: utils.random_sparse(
             n, m or n, (d or 10) / 1000.0
         ),
@@ -51,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("matrix", nargs="?", help="MatrixMarket .mtx[.gz] file")
     src.add_argument(
         "--synthetic", metavar="SPEC",
-        help="generate a matrix: laplacian:N | random:N[,M,density_permille] "
+        help="generate a matrix: laplacian:N | laplacian3d:N "
+             "| random:N[,M,density_permille] "
              "| banded:N[,bw] | powerlaw:N[,avg_nnz]",
     )
     p.add_argument("--formats", default="coo,csr,csc,ell,dia,bsr",

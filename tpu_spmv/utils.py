@@ -89,6 +89,25 @@ def laplacian_2d(nx: int, ny: int | None = None, dtype=np.float64) -> sp.csr_mat
     return A
 
 
+def laplacian_3d(nx: int, ny: int | None = None, nz: int | None = None,
+                 dtype=np.float64) -> sp.csr_matrix:
+    """7-point 3-D Laplacian on an ``nx × ny × nz`` grid (SPD,
+    heptadiagonal: offsets 0, ±1, ±nz, ±ny·nz).  Every diagonal is
+    periodic (periods nz / ny·nz), so the planner routes it to the
+    periodic streaming kernel like its 2-D sibling."""
+    ny = nx if ny is None else ny
+    nz = ny if nz is None else nz
+
+    def T(m):
+        e = np.ones(m)
+        return sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+
+    A = sp.kronsum(sp.kronsum(T(nz), T(ny)), T(nx), format="csr")
+    A = A.astype(dtype)
+    A.sort_indices()
+    return A
+
+
 def random_sparse(
     nrow: int, ncol: int, density: float = 0.01, seed: int = 0, dtype=np.float64
 ) -> sp.csr_matrix:
