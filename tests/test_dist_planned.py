@@ -221,3 +221,21 @@ def test_sdia_sharded_dead_output_matches(mesh, rng):
                                dead=dead)
     np.testing.assert_array_equal(np.asarray(y_plain.chunks),
                                   np.asarray(y_dead.chunks))
+
+
+def test_psdia_sharded_dead_output_matches(mesh, rng):
+    import jax
+
+    mat = utils.laplacian_2d(32, 32)     # period 32 divides rb=256
+    plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                               strategy="pdia_stream", sdia_rb=256)
+    from tpu_spmv.dist.planned import spmv_psdia_sharded
+
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    xs = plan.shard_x(x, dtype=np.float32)
+    y_plain = spmv_psdia_sharded(mesh, plan.matrix, xs, interpret=True)
+    dead = jax.tree_util.tree_map(jnp.zeros_like, xs)
+    y_dead = spmv_psdia_sharded(mesh, plan.matrix, xs, interpret=True,
+                                dead=dead)
+    np.testing.assert_array_equal(np.asarray(y_plain.chunks),
+                                  np.asarray(y_dead.chunks))

@@ -551,11 +551,12 @@ def _psdia_ring_kernel(base_ref, left_ref, right_ref, pat_ref, xm_ref,
 
 
 def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
-                       *, axis: str = "x", interpret: bool = False
-                       ) -> ShardedVector:
+                       *, axis: str = "x", interpret: bool = False,
+                       dead: ShardedVector | None = None) -> ShardedVector:
     """Row-sharded periodic streaming-DIA SpMV in padded row space —
     the :func:`spmv_sdia_sharded` ring structure with the VMEM-resident
-    pattern instead of streamed data."""
+    pattern instead of streamed data.  ``dead`` = donated output
+    ShardedVector for zero-copy distributed chains."""
     from ..kernels.dia_stream import _halo_size
 
     ndev = A.ndev
@@ -568,7 +569,7 @@ def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
     hb = rb // h
     THloc = Cp // h
 
-    def run_body(A_loc: ShardedPSDIA, x_loc: ShardedVector):
+    def run_body(A_loc: ShardedPSDIA, x_loc: ShardedVector, *dead_loc):
         xc = x_loc.chunks[0]                         # [Cp]
         tail = jax.lax.slice_in_dim(xc, Cp - h, Cp)
         head = jax.lax.slice_in_dim(xc, 0, h)
@@ -580,40 +581,56 @@ def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
             left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
             right = lax.ppermute(head, axis, to_left)   # right nbr's head
         base = (lax.axis_index(axis) * Cp).astype(jnp.int32).reshape(1)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # shard row base
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
+            pl.BlockSpec((nd, rb), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),   # resident pattern
+            pl.BlockSpec((h,),
+                         lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,),
+                         lambda j: (jnp.clip((j + 1) * hb, 0,
+                                             THloc - 1),),
+                         memory_space=pltpu.VMEM),
+        ]
+        kern = functools.partial(_psdia_ring_kernel, offsets=offsets,
+                                 rb=rb, h=h, tlast=Tloc - 1, L=A.L,
+                                 nrow=A.shape[0])
+        ops = (base, left, right, A_loc.pattern[0], xc, xc, xc)
+        extra = {}
+        if dead_loc:
+            kern_inner = kern
+
+            def kern(*refs):
+                kern_inner(*refs[:-2], refs[-1])
+
+            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+            ops = ops + (dead_loc[0].chunks[0],)
+            extra = {"input_output_aliases": {7: 0}}
         y = pl.pallas_call(
-            functools.partial(_psdia_ring_kernel, offsets=offsets, rb=rb,
-                              h=h, tlast=Tloc - 1, L=A.L, nrow=A.shape[0]),
+            kern,
             out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.pattern.dtype),
             grid=(Tloc,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # shard row base
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
-                pl.BlockSpec((nd, rb), lambda j: (0, 0),
-                             memory_space=pltpu.VMEM),   # resident pattern
-                pl.BlockSpec((h,),
-                             lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rb,), lambda j: (j,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((h,),
-                             lambda j: (jnp.clip((j + 1) * hb, 0,
-                                                 THloc - 1),),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((rb,), lambda j: (j,),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(base, left, right, A_loc.pattern[0], xc, xc, xc)
+            **extra,
+        )(*ops)
         return y[None]
 
-    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis), P(axis)),
+    args = (A, x) if dead is None else (A, x, dead)
+    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis),) * len(args),
                        out_specs=P(axis))
     try:
         run = _shard_map(run_body, check_vma=False, **smap_kwargs)
     except TypeError:  # pragma: no cover
         run = _shard_map(run_body, check_rep=False, **smap_kwargs)
-    y = run(A, x)
+    y = run(*args)
     return ShardedVector(chunks=y, starts=A.pad_plan.starts,
                          length=A.npad)
 

@@ -120,7 +120,8 @@ class SDIA:
         return self.data.dtype
 
 
-def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1) -> int | None:
+def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1,
+             itemsize: int = 4) -> int | None:
     """Pick the row-tile size: as fat as the data-block budget allows
     (fewer grid steps, smaller halo fraction), shrunk for small matrices
     (whole-tile padding), raised — within 2x budget — when the band needs
@@ -133,7 +134,7 @@ def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1) -> int | None:
     rb=131072 fails to compile under the 64 MB scoped-vmem limit."""
     need = _roundup(max(max(abs(int(o)) for o in offsets), 1), 1024)
     rb = 65536
-    while rb > RB and ndiags * rb * 4 > _DATA_BLOCK_BUDGET:
+    while rb > RB and ndiags * rb * itemsize > _DATA_BLOCK_BUDGET:
         rb //= 2
     while rb > RB and rb >= 4 * nrow:
         rb //= 2
@@ -141,7 +142,7 @@ def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1) -> int | None:
         rb //= 2
     if need > rb:
         rb = need
-        if rb > RB_MAX or ndiags * rb * 4 > 2 * _DATA_BLOCK_BUDGET:
+        if rb > RB_MAX or ndiags * rb * itemsize > 2 * _DATA_BLOCK_BUDGET:
             return None
     return rb
 
@@ -175,7 +176,10 @@ def pack_sdia(dia: DIA, rb: int | None = None, *, nrhs: int = 1,
     has no analog (double-only, ``src/mat_vec.cpp``)."""
     nrow, ncol = dia.shape
     if rb is None:
-        rb = _auto_rb(dia.ndiags, dia.offsets, nrow, nrhs=nrhs)
+        isz = int(np.dtype(data_dtype).itemsize) if data_dtype is not None \
+            else int(np.dtype(dia.data.dtype).itemsize)
+        rb = _auto_rb(dia.ndiags, dia.offsets, nrow, nrhs=nrhs,
+                      itemsize=isz)
     if rb is None or not supports_sdia(dia.offsets, dia.shape, rb):
         raise ValueError(
             f"sdia needs a square matrix with a feasible row tile "
