@@ -62,3 +62,15 @@ def test_spgemm_rejects_unstructured():
     csr = ts.convert(ts.COO.from_scipy(m.tocoo(), dtype=jnp.float32), "csr")
     with pytest.raises(TypeError, match="DIA x DIA"):
         spgemm(csr, csr)
+
+
+def test_spgemm_structurally_zero_product():
+    # nilpotent shift: every offset sum lands out of range — the product
+    # is the zero matrix, returned in the empty-DIA convention
+    import jax.numpy as jnp
+
+    A = ts.DIA(data=jnp.ones((1, 4), jnp.float32), offsets=(3,),
+               shape=(4, 4), nnz=1)
+    C = spgemm(A, A)
+    assert C.offsets == (0,) and C.nnz == 0
+    assert not np.any(np.asarray(C.data))

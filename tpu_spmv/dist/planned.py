@@ -408,19 +408,13 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
                                              THloc - 1),),
                          memory_space=pltpu.VMEM),
         ]
-        kern = functools.partial(_sdia_ring_kernel, offsets=offsets,
-                                 rb=rb, h=h, tlast=Tloc - 1)
-        ops = (left, right, A_loc.data[0], xc, xc, xc)
-        extra = {}
-        if dead_loc:
-            kern_inner = kern
+        from ..kernels.dia_stream import _dead_out
 
-            def kern(*refs):
-                kern_inner(*refs[:-2], refs[-1])
-
-            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
-            ops = ops + (dead_loc[0].chunks[0],)
-            extra = {"input_output_aliases": {6: 0}}
+        kern, in_specs, ops, extra = _dead_out(
+            functools.partial(_sdia_ring_kernel, offsets=offsets,
+                              rb=rb, h=h, tlast=Tloc - 1),
+            in_specs, (left, right, A_loc.data[0], xc, xc, xc),
+            dead_loc[0].chunks[0] if dead_loc else None)
         y = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.data.dtype),
@@ -597,20 +591,14 @@ def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
                                              THloc - 1),),
                          memory_space=pltpu.VMEM),
         ]
-        kern = functools.partial(_psdia_ring_kernel, offsets=offsets,
-                                 rb=rb, h=h, tlast=Tloc - 1, L=A.L,
-                                 nrow=A.shape[0])
-        ops = (base, left, right, A_loc.pattern[0], xc, xc, xc)
-        extra = {}
-        if dead_loc:
-            kern_inner = kern
+        from ..kernels.dia_stream import _dead_out
 
-            def kern(*refs):
-                kern_inner(*refs[:-2], refs[-1])
-
-            in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
-            ops = ops + (dead_loc[0].chunks[0],)
-            extra = {"input_output_aliases": {7: 0}}
+        kern, in_specs, ops, extra = _dead_out(
+            functools.partial(_psdia_ring_kernel, offsets=offsets,
+                              rb=rb, h=h, tlast=Tloc - 1, L=A.L,
+                              nrow=A.shape[0]),
+            in_specs, (base, left, right, A_loc.pattern[0], xc, xc, xc),
+            dead_loc[0].chunks[0] if dead_loc else None)
         y = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.pattern.dtype),

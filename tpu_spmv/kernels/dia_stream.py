@@ -79,8 +79,9 @@ def _dead_out(kernel, in_specs, operands, dead):
     def kernel_dead(*refs):
         kernel(*refs[:-2], refs[-1])
 
+    any_space = getattr(pl, "ANY", None) or pltpu.ANY
     return (kernel_dead,
-            in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs + [pl.BlockSpec(memory_space=any_space)],
             operands + (dead,),
             {"input_output_aliases": {len(in_specs): 0}})
 
@@ -147,11 +148,17 @@ def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1,
     return rb
 
 
-def supports_sdia(offsets, shape, rb: int | None = None) -> bool:
+def supports_sdia(offsets, shape, rb: int | None = None, *,
+                  itemsize: int = 4) -> bool:
+    """Feasibility probe for :func:`pack_sdia` — MUST mirror its
+    ``_auto_rb`` call (same itemsize) or the planner admits matrices the
+    pack then rejects (code-review r3: f64 wide-band operands passed the
+    itemsize=4 probe and raised out of plan_spmv)."""
     if shape[0] != shape[1]:
         return False
     if rb is None:
-        return _auto_rb(len(offsets), offsets, shape[0]) is not None
+        return _auto_rb(len(offsets), offsets, shape[0],
+                        itemsize=itemsize) is not None
     return max(abs(int(o)) for o in offsets) <= rb
 
 

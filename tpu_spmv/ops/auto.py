@@ -332,7 +332,9 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                         _kernel_for_strategy("pdia_stream"))
                 except ValueError:
                     pass
-            if dia_stream.supports_sdia(hoffs, hc.shape):
+            if dia_stream.supports_sdia(
+                    hoffs, hc.shape,
+                    itemsize=int(np.dtype(hdata.dtype).itemsize)):
                 return SpmvPlan(dia_stream.pack_sdia(hdia), "dia_stream",
                                 stats, _kernel_for_strategy("dia_stream"))
         import jax.numpy as jnp

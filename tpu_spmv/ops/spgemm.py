@@ -33,9 +33,30 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..formats import DIA
 
 __all__ = ["spgemm"]
+
+
+@functools.partial(jax.jit, static_argnames=("offs_a", "offs_b", "sums"))
+def _build(da, db, *, offs_a, offs_b, sums):
+    """One fused pass computing every output diagonal.  Module-level and
+    keyed on the STATIC structure so repeated assemblies (polynomial
+    factor chains) hit the jit cache instead of retracing per call."""
+    pos = {o: k for k, o in enumerate(sums)}
+    out = [jnp.zeros(da.shape[1:], jnp.result_type(da.dtype, db.dtype))
+           for _ in sums]
+    for i1, o1 in enumerate(offs_a):
+        for i2, o2 in enumerate(offs_b):
+            oc = int(o1) + int(o2)
+            if oc not in pos:
+                continue
+            # C.data[oc][i] += A.data[o1][i] * B.data[o2][i + o1]
+            k = pos[oc]
+            out[k] = out[k] + da[i1] * _shift_fill(db[i2], int(o1))
+    return jnp.stack(out)
 
 
 def _shift_fill(v: jax.Array, s: int) -> jax.Array:
@@ -63,25 +84,20 @@ def spgemm(A, B) -> DIA:
     n = A.shape[0]
 
     # output diagonals: all pairwise sums, clipped to the valid range
-    sums = sorted({int(o1) + int(o2)
-                   for o1 in A.offsets for o2 in B.offsets
-                   if -n < int(o1) + int(o2) < n})
-    pos = {o: k for k, o in enumerate(sums)}
+    sums = tuple(sorted({int(o1) + int(o2)
+                         for o1 in A.offsets for o2 in B.offsets
+                         if -n < int(o1) + int(o2) < n}))
+    out_dtype = jnp.result_type(A.data.dtype, B.data.dtype)
+    if not sums:
+        # structurally zero product (e.g. nilpotent shifts whose offsets
+        # sum out of range): the empty-DIA convention is offsets=(0,)
+        return DIA(data=jnp.zeros((1, n), out_dtype), offsets=(0,),
+                   shape=(n, n), nnz=0)
 
-    @jax.jit
-    def build(da, db):
-        out = [jnp.zeros((n,), jnp.result_type(da.dtype, db.dtype))
-               for _ in sums]
-        for i1, o1 in enumerate(A.offsets):
-            for i2, o2 in enumerate(B.offsets):
-                oc = int(o1) + int(o2)
-                if oc not in pos:
-                    continue
-                # C.data[oc][i] += A.data[o1][i] * B.data[o2][i + o1]
-                k = pos[oc]
-                out[k] = out[k] + da[i1] * _shift_fill(db[i2], int(o1))
-        return jnp.stack(out)
-
-    data = build(A.data, B.data)
-    nnz = int(jnp.count_nonzero(data))
-    return DIA(data=data, offsets=tuple(sums), shape=(n, n), nnz=nnz)
+    data = _build(A.data, B.data, offs_a=A.offsets, offs_b=B.offsets,
+                  sums=sums)
+    # nnz: structural in-range count per diagonal — a cheap host-side
+    # upper bound on true nonzeros (an exact count would block on a
+    # device reduction mid-assembly; nnz only feeds GFLOPS accounting)
+    nnz = int(sum(n - abs(o) for o in sums))
+    return DIA(data=data, offsets=sums, shape=(n, n), nnz=nnz)
