@@ -39,6 +39,15 @@ def test_spgemm_laplacian_squared(rng):
     y = np.asarray(ts.spmv(C, jnp.asarray(x)), np.float64)
     ref = m.astype(np.float64) @ (m.astype(np.float64) @ x)
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+    # ... and the streaming kernel takes the assembled operand directly
+    # (A^2 of a DIRICHLET operator is not strictly periodic — boundary
+    # rows differ — so SDIA, not PSDIA, is the streaming target)
+    from tpu_spmv.kernels import dia_stream
+
+    S = dia_stream.pack_sdia(C)
+    ys = np.asarray(dia_stream.spmv_sdia(S, jnp.asarray(x), interpret=True),
+                    np.float64)
+    np.testing.assert_allclose(ys, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_spgemm_different_bands(rng):
