@@ -471,6 +471,50 @@ def bench_cg_big(PS) -> dict:
     }
 
 
+def bench_poisson3d() -> dict:
+    """7-point 3-D Poisson (128^3 = 2.1M rows, 14.6M nnz) through the
+    planner: every diagonal is periodic with period ny*nz, so the
+    periodic streaming kernel applies exactly as in 2-D (detect_period
+    + on-device verification unaided)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spmv.bench.harness import time_chained_pingpong
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.utils import laplacian_3d
+
+    g = 128
+    m = laplacian_3d(g)
+    plan = plan_spmv(m, dtype=np.float32)
+    assert plan.strategy == "pdia_stream", plan.strategy
+    P = plan.matrix
+    n = m.shape[0]
+    x = jax.random.uniform(jax.random.PRNGKey(11), (n,), jnp.float32)
+    y = np.asarray(plan(x), np.float64)
+    ref = m.astype(np.float64) @ np.asarray(x, np.float64)
+    rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
+    assert rel < 2e-5, f"3-D verification failed: {rel:.3e}"
+    Pc = dataclasses.replace(P, pattern=P.pattern * jnp.float32(1 / 12.0))
+    xp = dia_stream.pad_x(P, x)
+    dt = time_chained_pingpong(
+        lambda c, dead, Ad: dia_stream.spmv_psdia_padded(Ad, c, dead), xp,
+        iters=400, warm=20, operands=(Pc,), nbuf=4)
+    gflops = 2 * m.nnz / dt / 1e9
+    log(f"bench: poisson3d 128^3 strategy={plan.strategy} "
+        f"{dt * 1e6:.0f} us/iter ({gflops:.0f} GFLOP/s) rel={rel:.1e}")
+    return {
+        "strategy": plan.strategy,
+        "us_per_spmv": round(dt * 1e6, 1),
+        "gflops": round(gflops, 2),
+        "nnz": int(m.nnz),
+        "rel_err": rel,
+    }
+
+
 def bench_powerlaw() -> dict:
     """General-pattern stress: power-law (hub-row) matrix through the
     planner — exercises chunked packs, sigma-class packing and the
@@ -735,6 +779,7 @@ def main() -> int:
     # --- solver + hub-row generality metrics ---
     cg_detail = bench_cg()
     cg16_detail = bench_cg_big(PS)
+    p3_detail = bench_poisson3d()
     pl_detail = bench_powerlaw()
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
@@ -777,6 +822,7 @@ def main() -> int:
             "bsr": bsr_detail,
             "cg": cg_detail,
             "cg_16m": cg16_detail,
+            "poisson3d": p3_detail,
             "power_law": pl_detail,
         },
     }))
