@@ -152,3 +152,57 @@ def test_plan_matvec_differentiable_auto_transpose():
     ref = 2.0 * (A64.T @ (A64 @ xv))
     np.testing.assert_allclose(np.asarray(g, np.float64), ref,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_learn_stencil_psdia(rng):
+    # end-to-end "fitted stencil": recover the 5-point Poisson operator
+    # from (x, A x) pairs by gradient descent THROUGH the periodic
+    # streaming kernel's custom VJP (pattern cotangent) — the matrix-
+    # learning capability the dia_stream VJPs were built for
+    from tpu_spmv import utils
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv import COO, convert
+    import dataclasses
+
+    import optax
+
+    g = 16
+    m = utils.laplacian_2d(g)
+    dia = convert(COO.from_scipy(m.tocoo(), dtype=jnp.float32), "dia")
+    P_true = dia_stream.pack_psdia(dia, period=g)
+
+    X = jnp.asarray(rng.standard_normal((16, g * g)), jnp.float32)
+    Y = jax.vmap(lambda v: dia_stream.spmv_psdia(P_true, v,
+                                                 interpret=True))(X)
+
+    # start from a wrong pattern of the same sparsity structure
+    P0 = dataclasses.replace(
+        P_true, pattern=jnp.zeros_like(P_true.pattern)
+        .at[P_true.offsets.index(0)].set(1.0))
+
+    def loss(pat):
+        Pf = dataclasses.replace(P0, pattern=pat)
+        pred = jax.vmap(lambda v: dia_stream.spmv_psdia(Pf, v,
+                                                        interpret=True))(X)
+        return jnp.mean((pred - Y) ** 2)
+
+    opt = optax.adam(optax.cosine_decay_schedule(0.3, 800))
+    pat = P0.pattern
+    state = opt.init(pat)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(800):
+        _, grad = vg(pat)
+        upd, state = opt.update(grad, state)
+        pat = optax.apply_updates(pat, upd)
+    # the fitted OPERATOR generalizes to held-out inputs (raw pattern
+    # slots that never touch a real row carry no gradient and keep
+    # their init — only the operator's action is identified).
+    # Measured: train loss ~1e-14, held-out rel ~1e-7 (exact recovery).
+    Xh = jnp.asarray(rng.standard_normal((4, g * g)), jnp.float32)
+    Pf = dataclasses.replace(P0, pattern=pat)
+    pred = jax.vmap(lambda v: dia_stream.spmv_psdia(Pf, v,
+                                                    interpret=True))(Xh)
+    truth = jax.vmap(lambda v: dia_stream.spmv_psdia(P_true, v,
+                                                     interpret=True))(Xh)
+    rel = float(jnp.max(jnp.abs(pred - truth)) / jnp.max(jnp.abs(truth)))
+    assert rel < 1e-4, rel
