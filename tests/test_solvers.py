@@ -360,3 +360,37 @@ def test_lanczos_exact_breakdown_truncates():
     lmin, lmax = eigsh_lanczos(A, k=8, v0=jnp.asarray(e1))
     assert lmin == pytest.approx(2.0, rel=1e-10)
     assert lmax == pytest.approx(2.0, rel=1e-10)
+
+
+def test_solvers_padded_space_fast_path(rng):
+    # streaming-strategy plans iterate WHOLE solver loops in padded row
+    # space (SpmvPlan.solver_space): results must match the unpadded
+    # path and come back at the logical length
+    import scipy.sparse as sp
+
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv.ops.auto import plan_from_matrix
+    from tpu_spmv.solvers import chebyshev
+
+    m = (utils.laplacian_2d(32)
+         + 0.5 * sp.identity(1024)).tocsr().astype(np.float32)
+    dia = ts.convert(ts.COO.from_scipy(m.tocoo(), dtype=jnp.float32),
+                     "dia")
+    for strat, pack in (("dia_stream", dia_stream.pack_sdia(dia)),
+                        ("pdia_stream",
+                         dia_stream.pack_psdia(dia, period=32))):
+        plan = plan_from_matrix(pack, strat)
+        enc, mv, dec = plan.solver_space()
+        assert enc(jnp.zeros(1024)).shape[0] == pack.npad
+        b = rng.standard_normal(1024).astype(np.float32)
+        res = cg(plan, jnp.asarray(b), tol=1e-6, maxiter=3000)
+        assert res.x.shape == (1024,) and bool(res.converged)
+        x_ref = np.asarray(sp.linalg.spsolve(
+            m.astype(np.float64).tocsc(), b.astype(np.float64)))
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-3,
+                                   atol=1e-4)
+        res2 = chebyshev(plan, jnp.asarray(b), lmin=0.4, lmax=8.6,
+                         tol=1e-6, maxiter=6000)
+        assert res2.x.shape == (1024,)
+        np.testing.assert_allclose(np.asarray(res2.x), x_ref, rtol=1e-3,
+                                   atol=1e-4)

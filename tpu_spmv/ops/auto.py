@@ -194,6 +194,38 @@ class SpmvPlan:
         mv.defvjp(fwd, bwd)
         return mv
 
+    def solver_space(self):
+        """``(encode, matvec, decode)`` for running WHOLE solver loops in
+        the kernel's native vector space.
+
+        The streaming strategies (dia_stream / pdia_stream) compute in a
+        padded row space; calling the plan per iteration pays a pad +
+        unpad pass (2 x 134 MB at the 16.7M-row bench scale) every SpMV.
+        Solvers that iterate — cg, chebyshev, power iteration — should
+        ``encode`` once, loop on ``matvec`` (shape-preserving, pads stay
+        exactly zero: PSDIA's row mask / SDIA's structural-zero pad
+        tiles), and ``decode`` the result.  Dots and norms over padded
+        vectors are exact because the pads are zero.  For every other
+        strategy all three are identity/self.
+        """
+        import jax
+
+        if self.strategy in ("dia_stream", "pdia_stream"):
+            from ..kernels import dia_stream
+
+            A = self.matrix
+            periodic = self.strategy == "pdia_stream"
+            kern = (dia_stream.spmv_psdia_padded if periodic
+                    else dia_stream.spmv_sdia_padded)
+
+            def matvec(v):
+                interp = jax.devices()[0].platform == "cpu"
+                return kern(A, v, interpret=interp)
+
+            return (lambda v: dia_stream.pad_x(A, v), matvec,
+                    lambda v: dia_stream.unpad_y(A, v))
+        return (lambda v: v), self, (lambda v: v)
+
     def spmm(self, X):
         """Multi-RHS product with the strategy's SpMM kernel (falls back
         to the XLA per-format SpMM for strategies without a native one)."""

@@ -42,6 +42,19 @@ def _as_matvec(A) -> Callable:
     return lambda v: spmv(A, v)
 
 
+def _solver_space(A):
+    """``(encode, matvec, decode)`` for iterating in the kernel's native
+    vector space (see ``SpmvPlan.solver_space``): streaming-strategy
+    plans iterate in PADDED row space so the per-iteration pad + unpad
+    passes disappear; everything else gets identities.  Pads stay
+    exactly zero through the loop, so dots/norms are unchanged."""
+    if hasattr(A, "solver_space"):
+        enc, mv, dec = A.solver_space()
+        return enc, mv, dec
+    ident = lambda v: v
+    return ident, _as_matvec(A), ident
+
+
 def safe_dinv(d, dtype=None):
     """Elementwise safe inverse of a diagonal: zero entries invert to 1
     (the conventional Jacobi/GS fallback — a zero diagonal row gets an
@@ -68,9 +81,15 @@ def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
     The loop body is a ``lax.while_loop`` — one compiled program per
     (matrix structure, maxiter) rather than per iteration.
     """
-    matvec = _as_matvec(A)
-    b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if precond is None:
+        # preconditioner closures act in the ORIGINAL vector space, so
+        # the padded-space fast path only engages without one
+        enc, matvec, dec = _solver_space(A)
+    else:
+        enc = dec = lambda v: v
+        matvec = _as_matvec(A)
+    b = enc(jnp.asarray(b))
+    x0 = jnp.zeros_like(b) if x0 is None else enc(jnp.asarray(x0))
     M = precond if precond is not None else (lambda r: r)
 
     @jax.jit
@@ -103,7 +122,8 @@ def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
         return x, it, rnorm, rnorm <= limit
 
     x, it, rnorm, ok = run(b, x0)
-    return CGResult(x=x, iterations=it, residual_norm=rnorm, converged=ok)
+    return CGResult(x=dec(x), iterations=it, residual_norm=rnorm,
+                    converged=ok)
 
 
 def power_iteration(A, *, key=None, iters: int = 50,
@@ -111,13 +131,13 @@ def power_iteration(A, *, key=None, iters: int = 50,
     """Dominant eigenvalue/vector via ``lax.scan`` (also the shape of the
     bench harness's chained-timing loop).  Matvec-closure callers (no
     ``.shape``) must pass ``n``."""
-    matvec = _as_matvec(A)
+    enc, matvec, dec = _solver_space(A)
     n = A.shape[0] if hasattr(A, "shape") else n
     if n is None:
         raise ValueError("power_iteration needs n= for matvec closures")
     if key is None:
         key = jax.random.key(0)
-    v0 = jax.random.uniform(key, (n,))
+    v0 = enc(jax.random.uniform(key, (n,)))
 
     @jax.jit
     def run(v0):
@@ -132,4 +152,5 @@ def power_iteration(A, *, key=None, iters: int = 50,
         lam = jnp.vdot(v, matvec(v))
         return lam, v
 
-    return run(v0)
+    lam, v = run(v0)
+    return lam, dec(v)

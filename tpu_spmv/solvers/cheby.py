@@ -70,9 +70,13 @@ def chebyshev(A, b, *, lmin: float, lmax: float, x0=None,
     # so a degenerate interval would produce inf/NaN (ADVICE r2)
     if not (0.0 < lmin < lmax):
         raise ValueError(f"need 0 < lmin < lmax, got [{lmin}, {lmax}]")
-    matvec = _as_matvec(A)
-    b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    from .cg import _solver_space
+
+    # streaming-strategy plans iterate in padded row space (pads stay
+    # exactly zero, so the convergence check's norm is unchanged)
+    enc, matvec, dec = _solver_space(A)
+    b = enc(jnp.asarray(b))
+    x0 = jnp.zeros_like(b) if x0 is None else enc(jnp.asarray(x0))
     theta = 0.5 * (lmax + lmin)        # interval center
     delta = 0.5 * (lmax - lmin)        # interval half-width
 
@@ -106,7 +110,7 @@ def chebyshev(A, b, *, lmin: float, lmax: float, x0=None,
         return x, it, rnorm, rnorm <= limit
 
     x, it, rnorm, ok = run(b, x0)
-    return ChebyshevResult(x=x, iterations=it, residual_norm=rnorm,
+    return ChebyshevResult(x=dec(x), iterations=it, residual_norm=rnorm,
                            converged=ok)
 
 
