@@ -1051,14 +1051,17 @@ def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
     return out[:, :T]
 
 
-#: nrhs ceiling for the batched pipeline.  Measured (engine v2,
-#: tools/profile_spmm.py, 700k-nnz random): batched is 2.0x the mapped
+#: nrhs ceiling for the batched pipeline.  Measured on engine v2
+#: (tools/profile_spmm.py, 700k-nnz random): batched is 2.0x the mapped
 #: path at nrhs=4 but parity within noise from 16 up — the per-rhs
 #: payload work (gathers/transposes/exchange re-run per rhs in BOTH
 #: paths) dominates once launch overhead is amortized, and the batched
-#: grid still re-fetches planes/vals per rhs sweep.  Module-level so
+#: grid still re-fetches planes/vals per rhs sweep.  Re-swept on engine
+#: v3 (round 3, same-process 32-RHS sweep on the same matrix): qb
+#: 2/4/8/16/32 -> 3.77/3.75/3.23/3.74/3.91 ms — the v3 stage-2/3's
+#: cheaper per-tile cost moves the sweet spot to 8.  Module-level so
 #: probes can override.
-SPMM_BATCH_MAX_NRHS = 4
+SPMM_BATCH_MAX_NRHS = 8
 
 
 def _spmm_gpr_batched_main(A: GPCSR, X: jax.Array, *,
