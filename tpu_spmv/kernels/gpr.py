@@ -171,8 +171,10 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     same program).  Keys: ``ns8`` (gather sublanes), ``class_T`` (tiles
     per width class, len(CLASS_W)), ``side_nnz`` (COO tail entries, padded
     with zero-valued (0,0) entries), ``rp`` (permutation tile fill,
-    forced), ``yn`` (y-permutation length).  Each must be >= the natural
-    size; tails never recurse (side_gpr stays None) under targets.
+    forced).  Each must be >= the natural size; tails never recurse
+    (side_gpr stays None) under targets.  (Y-permutation uniformity
+    comes from ``class_T`` + ``rp`` with ``padded_y`` — there is no
+    separate length target.)
 
     ``padded_y`` keeps the class-capacity padding in the reduce output
     (class_tiles rows entries become capacities) and folds the compaction
@@ -192,6 +194,13 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
     copies would double the stage-1 HBM/disk footprint, ADVICE r2) or
     rehydrates the chunk via :func:`_rehydrate_s1` when no fold engages.
     """
+    if padded_y and host_out is not None:
+        # the chunk-fold assembles y-reorders from host_out assuming the
+        # NON-padded class-sorted layout (y_pos/nrow_internal semantics);
+        # a padded_y pack's reduce output is cap_total long in perm_y
+        # order and would silently mis-compose — refuse the combination
+        raise ValueError("padded_y packs cannot fill host_out (chunk-fold "
+                         "y-reorder assumes the compacted layout)")
     if hasattr(mat, "tocsr"):
         csr = mat.tocsr()
         csr.sort_indices()
@@ -996,7 +1005,10 @@ def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
     b2, b3, rowsrc, vals = plan.b2, plan.b3, plan.rowsrc, A.vals
     if Tp != T:
         pad_t = ((0, Tp - T), (0, 0), (0, 0))
-        b2, b3 = (jnp.pad(b, pad_t) for b in (b2, b3))
+        b2 = jnp.pad(b2, pad_t)
+        if not A.fused_v3:
+            # v3 plans carry a [1,1,1] dummy b3 the kernel never reads
+            b3 = jnp.pad(b3, pad_t)
         vals = jnp.pad(vals, pad_t)
         rowsrc = jnp.pad(rowsrc, (0, (Tp - T) * LANES))
     if A.fused_v3:
@@ -1099,7 +1111,9 @@ def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
     # the block must leave room for double buffering (qb=8 at S=782
     # measured 2x SLOWER than qb=4: the 3.2 MB x3 block + z out blocks
     # overflowed VMEM headroom)
-    qb = max(1, min(_perm.QB_S1, (2 << 20) // (S * LANES * 4), nrhs))
+    itemsize = jnp.dtype(A.vals.dtype).itemsize
+    qb = max(1, min(_perm.QB_S1,
+                    (2 << 20) // (S * LANES * itemsize), nrhs))
     nq = -(-nrhs // qb)
     if nq * qb != nrhs:
         x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))

@@ -293,7 +293,6 @@ def _v3_router():
 #: Feasibility is not monotonic in problem size (it depends on tile
 #: fullness after the r_p search), so producers probe the LADDER in order
 #: and take the first qcap that routes (larger = fewer stage-2 rows).
-V3_QCAP = 112
 V3_QCAP_LADDER = (112, 96, 80)
 
 
@@ -742,6 +741,14 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
     if len(perm) > 1_600_000:
         if not two_level:
             raise ValueError(f"n={len(perm)} needs two-level routing")
+        if v3_meta is not None and v3_strict:
+            # two-level passes cannot carry the v3 coloring: honor the
+            # documented fail-fast contract instead of silently
+            # returning a TwoLevelPlan with empty host_planes
+            raise V3Infeasible(f"n={len(perm)} needs two-level routing; "
+                               "v3 is single-level only")
+        if host_planes is not None:
+            host_planes["v3"] = False
         # single-level is infeasible for random flows well before this;
         # skip the (expensive) downward feasibility search entirely
         return plan_permutation_two_level(perm)
