@@ -53,8 +53,9 @@ from .partition import RowPlan, plan_uniform
 from .sharded import HaloCSR, ShardedVector
 
 __all__ = ["ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedPSDIA",
+           "ShardedGPR",
            "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
-           "spmv_psdia_sharded",
+           "spmv_psdia_sharded", "spmv_gpr_sharded",
            "DistPlan", "plan_dist_spmv", "bench_dist_spmv"]
 
 
@@ -353,36 +354,44 @@ def _sdia_ring_kernel(left_ref, right_ref, data_ref, xm_ref, x0_ref,
     o_ref[:] = acc
 
 
-def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
-                      *, axis: str = "x", interpret: bool = False,
-                      dead: ShardedVector | None = None) -> ShardedVector:
-    """Row-sharded streaming-DIA SpMV in padded row space.
+def _shard_map_compat(body, **smap_kwargs):
+    """shard_map with the varying-mesh-axis check off (pallas_call
+    outputs carry no vma annotation); jax >= 0.6 names the flag
+    check_vma, older releases check_rep."""
+    try:
+        return _shard_map(body, check_vma=False, **smap_kwargs)
+    except TypeError:  # pragma: no cover
+        return _shard_map(body, check_rep=False, **smap_kwargs)
 
-    Each shard ships one ``h``-sized sliver (``h`` = the smallest aligned
-    block covering the band — NOT a whole ``rb`` tile) to each ring
-    neighbor, then runs the streaming kernel over its own chunk with the
-    slivers swapped in at the two edge tiles.  Keeping the halo at ``h``
-    and never materializing an ``[own | halo]`` concatenation holds the
-    per-shard HBM traffic byte-for-byte at the single-chip kernel's
-    (measured: the earlier whole-tile-halo + concatenated-x variant ran
-    1.37x the plain kernel; this one ~1.0x).
 
-    ``dead``, if given, is a donated ShardedVector the per-shard output
-    is written into (never read) — the zero-copy chaining hook (see
-    ``kernels.dia_stream._dead_out``) for distributed solver loops."""
-    from ..kernels.dia_stream import _halo_size
+def _ring_stream_sharded(mesh, A, x, dead, *, axis, interpret, rb, Cp,
+                         offsets, kern_factory, shard_ops, mat_spec,
+                         n_lead):
+    """Shared ring-halo runner for the sharded streaming kernels.
+
+    Each shard ships one ``h``-sized sliver to each ring neighbor, then
+    runs the streaming kernel over its own chunk with the slivers
+    swapped in at the two edge tiles — per-shard HBM traffic stays
+    byte-for-byte at the single-chip kernel's (the earlier
+    whole-tile-halo + concatenated-x variant measured 1.37x).
+
+    ``shard_ops(A_loc)`` returns ``(lead_ops, mat)``: ``n_lead`` SMEM
+    scalars followed by the matrix operand consumed via ``mat_spec``
+    (streamed data block for SDIA, resident pattern for PSDIA).
+    ``kern_factory(h, Tloc)`` builds the pallas kernel.  ``dead`` is the
+    donated-output ShardedVector (zero-copy chains, ``_dead_out``).
+    The output dtype promotes with x (mixed-precision packs store
+    narrower data; accumulation stays in the x dtype, matching the
+    single-chip kernels)."""
+    from ..kernels.dia_stream import _dead_out, _halo_size
 
     ndev = A.ndev
-    rb = A.rb
-    Cp = A.rows_per_shard
     Tloc = Cp // rb
-    nd = int(A.data.shape[1])
-    offsets = A.offsets
     h = _halo_size(offsets, rb)
     hb = rb // h
     THloc = Cp // h
 
-    def run_body(A_loc: ShardedSDIA, x_loc: ShardedVector, *dead_loc):
+    def run_body(A_loc, x_loc, *dead_loc):
         xc = x_loc.chunks[0]                         # [Cp]
         tail = jax.lax.slice_in_dim(xc, Cp - h, Cp)
         head = jax.lax.slice_in_dim(xc, 0, h)
@@ -393,31 +402,32 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
             to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
             left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
             right = lax.ppermute(head, axis, to_left)   # right nbr's head
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
-            pl.BlockSpec((nd, rb), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,),
-                         lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb,), lambda j: (j,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,),
-                         lambda j: (jnp.clip((j + 1) * hb, 0,
-                                             THloc - 1),),
-                         memory_space=pltpu.VMEM),
-        ]
-        from ..kernels.dia_stream import _dead_out
-
+        lead, mat = shard_ops(A_loc)
+        assert len(lead) == n_lead
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_lead + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
+                mat_spec,
+                pl.BlockSpec((h,),
+                             lambda j: (jnp.clip(j * hb - 1, 0,
+                                                 THloc - 1),),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb,), lambda j: (j,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h,),
+                             lambda j: (jnp.clip((j + 1) * hb, 0,
+                                                 THloc - 1),),
+                             memory_space=pltpu.VMEM),
+            ])
         kern, in_specs, ops, extra = _dead_out(
-            functools.partial(_sdia_ring_kernel, offsets=offsets,
-                              rb=rb, h=h, tlast=Tloc - 1),
-            in_specs, (left, right, A_loc.data[0], xc, xc, xc),
+            kern_factory(h, Tloc), in_specs,
+            (*lead, left, right, mat, xc, xc, xc),
             dead_loc[0].chunks[0] if dead_loc else None)
         y = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.data.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (Cp,), jnp.result_type(mat.dtype, xc.dtype)),
             grid=(Tloc,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((rb,), lambda j: (j,),
@@ -428,18 +438,33 @@ def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
         return y[None]
 
     args = (A, x) if dead is None else (A, x, dead)
-    smap_kwargs = dict(mesh=mesh,
-                       in_specs=(P(axis),) * len(args),
-                       out_specs=P(axis))
-    try:
-        # pallas_call outputs carry no varying-mesh-axis annotation; turn
-        # the shard_map vma check off (jax >= 0.6 name, older: check_rep)
-        run = _shard_map(run_body, check_vma=False, **smap_kwargs)
-    except TypeError:  # pragma: no cover
-        run = _shard_map(run_body, check_rep=False, **smap_kwargs)
+    run = _shard_map_compat(run_body, mesh=mesh,
+                            in_specs=(P(axis),) * len(args),
+                            out_specs=P(axis))
     y = run(*args)
     return ShardedVector(chunks=y, starts=A.pad_plan.starts,
                          length=A.npad)
+
+
+def spmv_sdia_sharded(mesh: Mesh, A: ShardedSDIA, x: ShardedVector,
+                      *, axis: str = "x", interpret: bool = False,
+                      dead: ShardedVector | None = None) -> ShardedVector:
+    """Row-sharded streaming-DIA SpMV in padded row space (ring halo of
+    one band-sized sliver per side; see :func:`_ring_stream_sharded`).
+    ``dead`` = donated output ShardedVector for zero-copy chains."""
+    rb = A.rb
+    nd = int(A.data.shape[1])
+    offsets = A.offsets
+    return _ring_stream_sharded(
+        mesh, A, x, dead, axis=axis, interpret=interpret, rb=rb,
+        Cp=A.rows_per_shard, offsets=offsets,
+        kern_factory=lambda h, Tloc: functools.partial(
+            _sdia_ring_kernel, offsets=offsets, rb=rb, h=h,
+            tlast=Tloc - 1),
+        shard_ops=lambda A_loc: ((), A_loc.data[0]),
+        mat_spec=pl.BlockSpec((nd, rb), lambda j: (0, j),
+                              memory_space=pltpu.VMEM),   # streamed
+        n_lead=0)
 
 
 @sparse_dataclass
@@ -549,79 +574,28 @@ def spmv_psdia_sharded(mesh: Mesh, A: ShardedPSDIA, x: ShardedVector,
                        dead: ShardedVector | None = None) -> ShardedVector:
     """Row-sharded periodic streaming-DIA SpMV in padded row space —
     the :func:`spmv_sdia_sharded` ring structure with the VMEM-resident
-    pattern instead of streamed data.  ``dead`` = donated output
+    pattern instead of streamed data (the shard's global row base rides
+    in as an SMEM scalar for the row mask).  ``dead`` = donated output
     ShardedVector for zero-copy distributed chains."""
-    from ..kernels.dia_stream import _halo_size
-
-    ndev = A.ndev
     rb = A.rb
     Cp = A.rows_per_shard
-    Tloc = Cp // rb
     nd = int(A.pattern.shape[1])
     offsets = A.offsets
-    h = _halo_size(offsets, rb)
-    hb = rb // h
-    THloc = Cp // h
 
-    def run_body(A_loc: ShardedPSDIA, x_loc: ShardedVector, *dead_loc):
-        xc = x_loc.chunks[0]                         # [Cp]
-        tail = jax.lax.slice_in_dim(xc, Cp - h, Cp)
-        head = jax.lax.slice_in_dim(xc, 0, h)
-        if ndev == 1:
-            left, right = tail, head
-        else:
-            to_right = [(i, (i + 1) % ndev) for i in range(ndev)]
-            to_left = [(i, (i - 1) % ndev) for i in range(ndev)]
-            left = lax.ppermute(tail, axis, to_right)   # left nbr's tail
-            right = lax.ppermute(head, axis, to_left)   # right nbr's head
+    def shard_ops(A_loc):
         base = (lax.axis_index(axis) * Cp).astype(jnp.int32).reshape(1)
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # shard row base
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # left sliver [h]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # right sliver [h]
-            pl.BlockSpec((nd, rb), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),   # resident pattern
-            pl.BlockSpec((h,),
-                         lambda j: (jnp.clip(j * hb - 1, 0, THloc - 1),),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb,), lambda j: (j,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h,),
-                         lambda j: (jnp.clip((j + 1) * hb, 0,
-                                             THloc - 1),),
-                         memory_space=pltpu.VMEM),
-        ]
-        from ..kernels.dia_stream import _dead_out
+        return (base,), A_loc.pattern[0]
 
-        kern, in_specs, ops, extra = _dead_out(
-            functools.partial(_psdia_ring_kernel, offsets=offsets,
-                              rb=rb, h=h, tlast=Tloc - 1, L=A.L,
-                              nrow=A.shape[0]),
-            in_specs, (base, left, right, A_loc.pattern[0], xc, xc, xc),
-            dead_loc[0].chunks[0] if dead_loc else None)
-        y = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((Cp,), A_loc.pattern.dtype),
-            grid=(Tloc,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((rb,), lambda j: (j,),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-            **extra,
-        )(*ops)
-        return y[None]
-
-    args = (A, x) if dead is None else (A, x, dead)
-    smap_kwargs = dict(mesh=mesh, in_specs=(P(axis),) * len(args),
-                       out_specs=P(axis))
-    try:
-        run = _shard_map(run_body, check_vma=False, **smap_kwargs)
-    except TypeError:  # pragma: no cover
-        run = _shard_map(run_body, check_rep=False, **smap_kwargs)
-    y = run(*args)
-    return ShardedVector(chunks=y, starts=A.pad_plan.starts,
-                         length=A.npad)
-
+    return _ring_stream_sharded(
+        mesh, A, x, dead, axis=axis, interpret=interpret, rb=rb,
+        Cp=Cp, offsets=offsets,
+        kern_factory=lambda h, Tloc: functools.partial(
+            _psdia_ring_kernel, offsets=offsets, rb=rb, h=h,
+            tlast=Tloc - 1, L=A.L, nrow=A.shape[0]),
+        shard_ops=shard_ops,
+        mat_spec=pl.BlockSpec((nd, rb), lambda j: (0, 0),
+                              memory_space=pltpu.VMEM),   # resident
+        n_lead=1)
 
 @sparse_dataclass
 class ShardedGPR:
@@ -767,7 +741,8 @@ class DistPlan:
     """
 
     matrix: object
-    strategy: str              # "dia" | "dia_stream" | "bdia" | "csr_halo"
+    strategy: str   # "dia" | "dia_stream" | "pdia_stream" | "bdia"
+                    # | "gpr" | "csr_halo"
     x_plan: RowPlan
     row_plan: RowPlan
 
@@ -862,7 +837,11 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
         period = dia_stream.detect_period(hdia)
         if period is None:
             raise ValueError("no periodic diagonal structure")
-        ps = dia_stream.pack_psdia(hdia, period=period, rb=sdia_rb)
+        # period came from detect_period on the SAME host data —
+        # re-verifying would materialize [nd, nrow] temporaries on a
+        # host that demand-pages at ~6 MB/s
+        ps = dia_stream.pack_psdia(hdia, period=period, rb=sdia_rb,
+                                   verify=False)
         sharded = ShardedPSDIA.build(ps, ndev)
         return DistPlan(sharded, "pdia_stream", sharded.pad_plan,
                         sharded.pad_plan)
@@ -950,14 +929,10 @@ def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
     rel = float("nan")
     if check:
         y = plan.spmv(mesh, xs, axis=axis)
-        y_ref = host @ x.astype(np.float64)
-        rel = float(np.max(np.abs(plan.y_to_global(y) - y_ref))
-                    / max(np.max(np.abs(y_ref)), 1e-300))
-        gate = 1e-10 if x.dtype == np.float64 else 2e-5
-        if rel > gate:
-            raise AssertionError(
-                f"DIST{ndev} SpMV verification failed: rel err {rel:.3e}"
-            )
+        # the canonical gate (bench/harness.py) — dtype-scaled tolerance,
+        # raises on failure
+        rel = verify_against_oracle(plan.matrix, x, plan.y_to_global(y),
+                                    oracle=host)
 
     inf_norm = float(np.abs(host).sum(axis=1).max())
     scale = np.asarray(1.0 / max(inf_norm, 1e-300), dtype=x.dtype)

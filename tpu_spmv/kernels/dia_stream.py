@@ -139,6 +139,8 @@ def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1,
         rb //= 2
     while rb > RB and rb >= 4 * nrow:
         rb //= 2
+    # the [nrhs, rb] X/Y panels are in the X dtype (not the stored-data
+    # dtype) — assume 4-byte vectors, the supported compute dtype
     while rb > 4096 and nrhs * rb * 4 > (8 << 20):
         rb //= 2
     if need > rb:
@@ -149,7 +151,7 @@ def _auto_rb(ndiags: int, offsets, nrow: int, nrhs: int = 1,
 
 
 def supports_sdia(offsets, shape, rb: int | None = None, *,
-                  itemsize: int = 4) -> bool:
+                  itemsize: int = 4, nrhs: int = 1) -> bool:
     """Feasibility probe for :func:`pack_sdia` — MUST mirror its
     ``_auto_rb`` call (same itemsize) or the planner admits matrices the
     pack then rejects (code-review r3: f64 wide-band operands passed the
@@ -157,7 +159,7 @@ def supports_sdia(offsets, shape, rb: int | None = None, *,
     if shape[0] != shape[1]:
         return False
     if rb is None:
-        return _auto_rb(len(offsets), offsets, shape[0],
+        return _auto_rb(len(offsets), offsets, shape[0], nrhs=nrhs,
                         itemsize=itemsize) is not None
     return max(abs(int(o)) for o in offsets) <= rb
 
@@ -661,8 +663,10 @@ def pack_psdia(dia: DIA, period: int | None = None, *, rb: int | None = None,
         unit = _lcm(P, 1024)
         if unit > RB_MAX:
             raise ValueError("period too large for any feasible row tile")
-        cap = min(RB_MAX, max(_PATTERN_BUDGET // (4 * nd), 1))
+        isz = int(np.dtype(dia.data.dtype).itemsize)
+        cap = min(RB_MAX, max(_PATTERN_BUDGET // (isz * nd), 1))
         if nrhs > 1:
+            # X/Y panels are in the (4-byte) x dtype, not the pattern's
             cap = min(cap, max((8 << 20) // (4 * nrhs), 1))
         rb = max(unit, cap - cap % unit)
         # don't pad small matrices out to giant tiles
@@ -771,7 +775,8 @@ def spmv_psdia_padded(A: PSDIA, xpad: jax.Array,
         (A.pattern, xpad, xpad, xpad), dead)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((npad,), A.pattern.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (npad,), jnp.result_type(A.pattern.dtype, xpad.dtype)),
         grid=(T,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rb,), lambda j: (j,),
@@ -908,7 +913,9 @@ def spmm_psdia_padded_t(A: PSDIA, Xt_pad: jax.Array,
         (A.pattern, Xt_pad, Xt_pad, Xt_pad), dead)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((nrhs, npad), A.pattern.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (nrhs, npad),
+            jnp.result_type(A.pattern.dtype, Xt_pad.dtype)),
         grid=(T,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((nrhs, rb), lambda j: (0, j),

@@ -358,8 +358,12 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
             period = dia_stream.detect_period(hdia)
             if period is not None:
                 try:
+                    # detect_period already proved periodicity on this
+                    # same host data; re-verifying materializes [nd, nrow]
+                    # temporaries on a ~6 MB/s demand-paging host
                     return SpmvPlan(
-                        dia_stream.pack_psdia(hdia, period=period),
+                        dia_stream.pack_psdia(hdia, period=period,
+                                              verify=False),
                         "pdia_stream", stats,
                         _kernel_for_strategy("pdia_stream"))
                 except ValueError:
