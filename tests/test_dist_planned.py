@@ -239,3 +239,25 @@ def test_psdia_sharded_dead_output_matches(mesh, rng):
                                 dead=dead)
     np.testing.assert_array_equal(np.asarray(y_plain.chunks),
                                   np.asarray(y_dead.chunks))
+
+
+def test_sdia_sharded_bf16_data(mesh, rng):
+    # mixed precision distributed: bf16-stored diagonals, f32 vectors —
+    # output must promote to f32 (crashed at trace time before r3's
+    # ring-runner dtype fix: 'Invalid dtype for swap')
+    from tpu_spmv.dist.planned import ShardedSDIA, spmv_sdia_sharded
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv import COO, convert
+
+    mat = utils.laplacian_2d(32, 32)
+    dia = convert(COO.from_scipy(mat.tocoo(), dtype=jnp.float32), "dia")
+    S = dia_stream.pack_sdia(dia, rb=256, data_dtype=jnp.bfloat16)
+    A = ShardedSDIA.build(S, 8)
+    x = rng.random(mat.shape[1]).astype(np.float32)
+    xs = A.shard_xpad(dia_stream.pad_x(S, jnp.asarray(x)))
+    y = spmv_sdia_sharded(mesh, A, xs, interpret=True)
+    assert y.chunks.dtype == jnp.float32
+    yg = np.asarray(y.chunks).reshape(-1)[S.L:S.L + mat.shape[0]]
+    ref = mat.astype(np.float64) @ x.astype(np.float64)
+    rel = np.max(np.abs(yg - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-2, rel        # bf16 coefficient rounding budget
