@@ -56,6 +56,62 @@ def test_cg_maxiter_cap(spd, rng):
     assert not bool(res.converged)
 
 
+def test_cg_runner_fixed_k_matches_cg(spd, rng):
+    from tpu_spmv.solvers import cg_runner
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    ref = cg(A, jnp.asarray(b), tol=0.0, maxiter=40)
+    run = cg_runner(A, iters=40)
+    res = run(jnp.asarray(b))
+    assert int(res.iterations) == 40
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cg_runner_reuses_trace(spd, rng):
+    from tpu_spmv.solvers import cg_runner
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    traces = []
+
+    def matvec(v):
+        traces.append(1)          # appended once per TRACE, not per call
+        return ts.spmv(A, v)
+
+    run = cg_runner(matvec, iters=300)
+    b1 = rng.standard_normal(spd.shape[0])
+    b2 = rng.standard_normal(spd.shape[0])
+    run(jnp.asarray(b1))
+    n_after_first = len(traces)
+    r2 = run(jnp.asarray(b2))
+    assert len(traces) == n_after_first          # second solve: no retrace
+    x_ref = np.linalg.solve(spd.toarray(), b2)
+    np.testing.assert_allclose(np.asarray(r2.x), x_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cg_runner_tol_mode(spd, rng):
+    from tpu_spmv.solvers import cg_runner
+
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    run = cg_runner(A, iters=2000, tol=1e-10)
+    res = run(jnp.asarray(b))
+    assert bool(res.converged)
+    assert int(res.iterations) < 2000
+    x_ref = np.linalg.solve(spd.toarray(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_cg_runner_validates_iters(spd):
+    from tpu_spmv.solvers import cg_runner
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    with pytest.raises(ValueError, match="iters"):
+        cg_runner(A, iters=0)
+
+
 def test_power_iteration(spd):
     A = ts.convert(ts.COO.from_scipy(spd), "csr")
     lam, v = power_iteration(A, iters=300)

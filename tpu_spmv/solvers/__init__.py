@@ -1,7 +1,8 @@
 """Iterative solvers: the consumers of the BLAS-1 + SpMV surface that the
 reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
 
-from .cg import CGResult, cg, jacobi_preconditioner, power_iteration
+from .cg import (CGResult, cg, cg_runner, jacobi_preconditioner,
+                 power_iteration)
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
 from .dist_cg import DistCGResult, dist_cg
 from .krylov import KrylovResult, bicgstab, gmres
@@ -11,7 +12,8 @@ from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
                          symgs_preconditioner)
 
-__all__ = ["CGResult", "cg", "jacobi_preconditioner", "power_iteration",
+__all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
+           "power_iteration",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
            "DistCGResult", "dist_cg",
            "KrylovResult", "bicgstab", "gmres",

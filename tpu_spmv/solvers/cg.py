@@ -25,7 +25,7 @@ from jax import lax
 
 from ..ops.spmv import spmv
 
-__all__ = ["CGResult", "cg", "jacobi_preconditioner",
+__all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "power_iteration", "safe_dinv"]
 
 
@@ -124,6 +124,108 @@ def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
     x, it, rnorm, ok = run(b, x0)
     return CGResult(x=dec(x), iterations=it, residual_norm=rnorm,
                     converged=ok)
+
+
+def cg_runner(A, *, iters: int, tol: float | None = None,
+              precond: Callable | None = None) -> Callable:
+    """Build a REUSABLE compiled CG step for timing/serving loops.
+
+    :func:`cg` constructs a fresh ``jax.jit`` closure per call, so every
+    solve re-traces — fine for one-shot solves, wasteful when the same
+    operator is solved against a stream of right-hand sides (the serving
+    shape).  This factory binds ``(A, iters, tol, precond)`` ONCE and
+    returns ``run(b, x0=None) -> CGResult``; repeated calls with
+    same-shape operands hit the jit cache (zero retrace).
+
+    ``tol=None`` (the timing/serving default) runs EXACTLY ``iters``
+    iterations under ``lax.fori_loop`` — no convergence test in the loop
+    body, so the compiled program is branch-free and its cost is
+    deterministic (``converged`` is evaluated once, at the end).  With a
+    ``tol``, the loop is the same early-exit ``lax.while_loop`` as
+    :func:`cg` with ``maxiter=iters``.
+
+    Reference analog: the reference ships BLAS-1 "solver support" it
+    never drives (`/root/reference/src/vec_vec.cpp`); this is the
+    production-loop form of driving it.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if precond is None:
+        enc, matvec, dec = _solver_space(A)
+        M = lambda r: r
+    else:
+        enc = dec = lambda v: v
+        matvec = _as_matvec(A)
+        M = precond
+
+    @jax.jit
+    def run_fixed(b, x0):
+        r0 = b - matvec(x0)
+        z0 = M(r0)
+        rz0 = jnp.vdot(r0, z0)
+
+        def body(_, state):
+            x, r, p, rz = state
+            Ap = matvec(p)
+            # guarded denominators: once the residual hits exactly zero
+            # (possible at fixed k past convergence) p == 0 and p·Ap == 0;
+            # the guards turn the remaining iterations into no-ops
+            # instead of 0/0 NaNs
+            pAp = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        return x, rnorm, bnorm
+
+    @jax.jit
+    def run_tol(b, x0):
+        r0 = b - matvec(x0)
+        z0 = M(r0)
+        rz0 = jnp.vdot(r0, z0)
+        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        limit = tol * jnp.maximum(bnorm, 1e-300)
+
+        def cond(state):
+            x, r, p, rz, it = state
+            return (jnp.sqrt(jnp.vdot(r, r)) > limit) & (it < iters)
+
+        def body(state):
+            x, r, p, rz, it = state
+            Ap = matvec(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, p, rz_new, it + 1)
+
+        x, r, p, rz, it = lax.while_loop(cond, body,
+                                         (x0, r0, z0, rz0, 0))
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        return x, it, rnorm, rnorm <= limit
+
+    def run(b, x0=None) -> CGResult:
+        b = enc(jnp.asarray(b))
+        x0 = jnp.zeros_like(b) if x0 is None else enc(jnp.asarray(x0))
+        if tol is None:
+            x, rnorm, bnorm = run_fixed(b, x0)
+            limit = 1e-8 * jnp.maximum(bnorm, 1e-300)
+            return CGResult(x=dec(x), iterations=jnp.int32(iters),
+                            residual_norm=rnorm, converged=rnorm <= limit)
+        x, it, rnorm, ok = run_tol(b, x0)
+        return CGResult(x=dec(x), iterations=it, residual_norm=rnorm,
+                        converged=ok)
+
+    return run
 
 
 def power_iteration(A, *, key=None, iters: int = 50,
