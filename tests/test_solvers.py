@@ -112,6 +112,71 @@ def test_cg_runner_validates_iters(spd):
         cg_runner(A, iters=0)
 
 
+def test_cg_multi_matches_columnwise_cg(spd, rng):
+    from tpu_spmv.solvers import cg_multi
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    B = rng.standard_normal((spd.shape[0], 4))
+    res = cg_multi(A, jnp.asarray(B), tol=1e-10, maxiter=2000)
+    assert bool(res.converged.all())
+    X_ref = np.linalg.solve(spd.toarray(), B)
+    np.testing.assert_allclose(np.asarray(res.x), X_ref, rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_cg_multi_freezes_converged_columns(spd, rng):
+    # column 0: b = A @ e (converges almost immediately); column 1: random
+    # (needs many iterations).  The frozen column must hold its answer.
+    from tpu_spmv.solvers import cg_multi
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    n = spd.shape[0]
+    e = np.zeros(n)
+    e[3] = 1.0
+    B = np.stack([spd @ e, rng.standard_normal(n)], axis=1)
+    res = cg_multi(A, jnp.asarray(B), tol=1e-9, maxiter=2000)
+    assert bool(res.converged.all())
+    X_ref = np.linalg.solve(spd.toarray(), B)
+    np.testing.assert_allclose(np.asarray(res.x), X_ref, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_cg_multi_runner_fixed_k_and_precond(spd, rng):
+    from tpu_spmv.solvers import cg_multi_runner
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    run = cg_multi_runner(A, iters=300,
+                          precond=jacobi_preconditioner(A))
+    B = rng.standard_normal((spd.shape[0], 3))
+    res = run(jnp.asarray(B))
+    assert int(res.iterations) == 300
+    X_ref = np.linalg.solve(spd.toarray(), B)
+    np.testing.assert_allclose(np.asarray(res.x), X_ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_cg_multi_through_plan(spd, rng):
+    # the plan path: strategy SpMM kernels drive the batched solve
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.solvers import cg_multi
+
+    plan = plan_spmv(spd)
+    B = rng.standard_normal((spd.shape[0], 3))
+    res = cg_multi(plan, jnp.asarray(B), tol=1e-8, maxiter=2000)
+    assert bool(res.converged.all())
+    X_ref = np.linalg.solve(spd.toarray(), B)
+    np.testing.assert_allclose(np.asarray(res.x), X_ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_cg_multi_rejects_vector_b(spd):
+    from tpu_spmv.solvers import cg_multi
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    with pytest.raises(ValueError, match="n, k"):
+        cg_multi(A, jnp.ones(spd.shape[0]))
+
+
 def test_power_iteration(spd):
     A = ts.convert(ts.COO.from_scipy(spd), "csr")
     lam, v = power_iteration(A, iters=300)

@@ -1,6 +1,7 @@
 """Iterative solvers: the consumers of the BLAS-1 + SpMV surface that the
 reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
 
+from .block_cg import CGMultiResult, cg_multi, cg_multi_runner
 from .cg import (CGResult, cg, cg_runner, jacobi_preconditioner,
                  power_iteration)
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
@@ -14,6 +15,7 @@ from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
 
 __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "power_iteration",
+           "CGMultiResult", "cg_multi", "cg_multi_runner",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
            "DistCGResult", "dist_cg",
            "KrylovResult", "bicgstab", "gmres",

@@ -1,0 +1,145 @@
+"""Multi-RHS conjugate gradients: k solves per SpMM.
+
+The reference solves one right-hand side at a time (its SpMV loop,
+`/root/reference/src/mat_vec.cpp:57-65`, and the BLAS-1 "solver support"
+of `/root/reference/src/vec_vec.cpp`).  On TPU the economics invert: an
+SpMM with the RHS block on the lane dimension costs far less than k
+SpMVs (measured: GPR 700k-nnz SpMM32 ~3.0 ms vs 32 x 139 us = 4.5 ms;
+streaming SDIA SpMM32 6.9 ms vs 32 x 0.92 ms = 29 ms), so solving a
+BATCH of right-hand sides per iteration rides the MXU/stream kernels.
+
+:func:`cg_multi` runs k INDEPENDENT CG recurrences in lockstep — one
+``alpha``/``beta`` per column, coupled only through the shared SpMM.
+This is numerically identical to k separate CG solves (not block-CG with
+a shared Krylov space, which trades robustness for iteration count);
+columns that converge first are frozen in place so trailing iterations
+cannot un-converge them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["CGMultiResult", "cg_multi", "cg_multi_runner"]
+
+
+class CGMultiResult(NamedTuple):
+    x: jax.Array               # [n, k]
+    iterations: jax.Array      # int32 — iterations run (shared loop)
+    residual_norm: jax.Array   # [k]
+    converged: jax.Array       # [k] bool
+
+
+def _as_matmat(A) -> Callable:
+    if hasattr(A, "spmm"):                    # SpmvPlan (callable, but its
+        return A.spmm                         # __call__ is the SpMV path)
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    from ..ops.spmm import spmm
+
+    return lambda X: spmm(A, X)
+
+
+def cg_multi_runner(A, *, iters: int, tol: float | None = None,
+                    precond: Callable | None = None) -> Callable:
+    """Reusable compiled multi-RHS CG (the serving form — see
+    :func:`~tpu_spmv.solvers.cg.cg_runner` for the calling convention).
+
+    ``A`` is a format instance, an :class:`~tpu_spmv.ops.auto.SpmvPlan`
+    (its strategy SpMM kernel is used), or a matmat closure ``[n, k] ->
+    [n, k]``.  ``precond`` acts column-wise on ``[n]`` vectors (the same
+    closures :func:`cg` takes); it is vmapped over the RHS columns.
+
+    ``tol=None``: exactly ``iters`` iterations, branch-free fori_loop.
+    With ``tol``: the loop exits once EVERY column converges (or at
+    ``iters``); converged columns are frozen (their ``alpha``/``beta``
+    forced to zero) so they hold their answer while stragglers finish.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    matmat = _as_matmat(A)
+    M = ((lambda R: R) if precond is None
+         else jax.vmap(precond, in_axes=1, out_axes=1))
+
+    def step(X, R, P, rz, active):
+        AP = matmat(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(active,
+                          rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = M(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(active,
+                         rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        P = jnp.where(active[None, :], Z + beta[None, :] * P, P)
+        return X, R, P, rz_new
+
+    @jax.jit
+    def run_fixed(B, X0):
+        R0 = B - matmat(X0)
+        Z0 = M(R0)
+        rz0 = jnp.sum(R0 * Z0, axis=0)
+        ones = jnp.ones(B.shape[1], bool)
+
+        def body(_, state):
+            X, R, P, rz = state
+            return step(X, R, P, rz, ones)
+
+        X, R, P, rz = lax.fori_loop(0, iters, body, (X0, R0, Z0, rz0))
+        rnorm = jnp.sqrt(jnp.sum(R * R, axis=0))
+        bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+        return X, rnorm, bnorm
+
+    @jax.jit
+    def run_tol(B, X0):
+        R0 = B - matmat(X0)
+        Z0 = M(R0)
+        rz0 = jnp.sum(R0 * Z0, axis=0)
+        bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+        limit = tol * jnp.maximum(bnorm, 1e-300)
+
+        def cond(state):
+            X, R, P, rz, it = state
+            active = jnp.sqrt(jnp.sum(R * R, axis=0)) > limit
+            return jnp.any(active) & (it < iters)
+
+        def body(state):
+            X, R, P, rz, it = state
+            active = jnp.sqrt(jnp.sum(R * R, axis=0)) > limit
+            X, R, P, rz = step(X, R, P, rz, active)
+            return (X, R, P, rz, it + 1)
+
+        X, R, P, rz, it = lax.while_loop(cond, body,
+                                         (X0, R0, Z0, rz0, 0))
+        rnorm = jnp.sqrt(jnp.sum(R * R, axis=0))
+        return X, it, rnorm, rnorm <= limit
+
+    def run(B, X0=None) -> CGMultiResult:
+        B = jnp.asarray(B)
+        if B.ndim != 2:
+            raise ValueError(f"B must be [n, k], got shape {B.shape}")
+        X0 = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0)
+        if tol is None:
+            X, rnorm, bnorm = run_fixed(B, X0)
+            limit = 1e-8 * jnp.maximum(bnorm, 1e-300)
+            return CGMultiResult(x=X, iterations=jnp.int32(iters),
+                                 residual_norm=rnorm,
+                                 converged=rnorm <= limit)
+        X, it, rnorm, ok = run_tol(B, X0)
+        return CGMultiResult(x=X, iterations=it, residual_norm=rnorm,
+                             converged=ok)
+
+    return run
+
+
+def cg_multi(A, B, *, x0=None, tol: float | None = 1e-8,
+             maxiter: int = 1000,
+             precond: Callable | None = None) -> CGMultiResult:
+    """One-shot multi-RHS CG (k independent solves per SpMM)."""
+    run = cg_multi_runner(A, iters=maxiter, tol=tol, precond=precond)
+    return run(B, x0)
