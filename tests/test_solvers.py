@@ -515,3 +515,100 @@ def test_solvers_padded_space_fast_path(rng):
         assert res2.x.shape == (1024,)
         np.testing.assert_allclose(np.asarray(res2.x), x_ref, rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_ir_bf16_inner_recovers_f32_accuracy(rng):
+    # mixed-precision iterative refinement: all inner-CG matrix traffic
+    # is bf16 data, yet the TRUE residual (hi-precision recompute each
+    # cycle) reaches f32-level accuracy a straight bf16-plan CG cannot
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.solvers import ir_solve
+
+    # scale by an irrational so the coefficients are NOT bf16-exact
+    m = (utils.laplacian_2d(16, 16) * 1.0471975).tocsr().astype(np.float32)
+    hi = plan_spmv(m)
+    lo = plan_spmv(m, dtype=jnp.bfloat16)
+    assert lo.matrix.data.dtype == jnp.bfloat16
+    b = rng.standard_normal(m.shape[0]).astype(np.float32)
+    res = ir_solve(hi, jnp.asarray(b), low=lo, inner_iters=24,
+                   maxiter=40, tol=1e-6)
+    assert bool(res.converged)
+    assert int(res.outer_iterations) <= 10
+    x_ref = np.linalg.solve(m.toarray().astype(np.float64),
+                            b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4,
+                               atol=1e-6)
+    # the bf16-data perturbation floor: a plain CG ON the bf16 plan
+    # cannot reach this true residual (its own recurrence lies)
+    res_bf = cg(lo, jnp.asarray(b), tol=1e-6, maxiter=2000)
+    true_bf = np.linalg.norm(m @ np.asarray(res_bf.x) - b)
+    assert float(res.residual_norm) < 0.1 * true_bf
+
+
+def test_ir_stagnation_exit(rng):
+    # at a tol below the f32 rounding floor, refinement must stop on
+    # stagnation (residual no longer contracting), not burn maxiter
+    from tpu_spmv.ops.auto import plan_spmv
+    from tpu_spmv.solvers import ir_solve
+
+    m = (utils.laplacian_2d(16, 16) * 1.0471975).tocsr().astype(np.float32)
+    hi = plan_spmv(m)
+    lo = plan_spmv(m, dtype=jnp.bfloat16)
+    b = rng.standard_normal(m.shape[0]).astype(np.float32)
+    res = ir_solve(hi, jnp.asarray(b), low=lo, inner_iters=24,
+                   maxiter=200, tol=1e-12)
+    assert not bool(res.converged)
+    assert int(res.outer_iterations) < 20   # stagnated, did not spin
+
+
+def test_ir_padded_space_streaming_pair(rng):
+    # hi(f32) and lo(bf16) streaming packs of the SAME matrix share the
+    # padded row space: the whole refinement iterates padded, results
+    # decode to logical length and match the dense oracle
+    import scipy.sparse as sp
+
+    from tpu_spmv.kernels import dia_stream
+    from tpu_spmv.ops.auto import plan_from_matrix
+    from tpu_spmv.solvers import ir_runner
+
+    m = ((utils.laplacian_2d(32) + 0.5 * sp.identity(1024))
+         * 1.0471975).tocsr().astype(np.float32)
+    dia = ts.convert(ts.COO.from_scipy(m.tocoo(), dtype=jnp.float32),
+                     "dia")
+    hi = plan_from_matrix(dia_stream.pack_sdia(dia), "dia_stream")
+    lo = plan_from_matrix(
+        dia_stream.pack_sdia(dia, data_dtype=jnp.bfloat16), "dia_stream")
+    run = ir_runner(hi, low=lo, inner_iters=32, maxiter=60, tol=1e-6)
+    b = rng.standard_normal(1024).astype(np.float32)
+    res = run(jnp.asarray(b))
+    assert res.x.shape == (1024,)
+    assert bool(res.converged)
+    x_ref = np.asarray(sp.linalg.spsolve(m.astype(np.float64).tocsc(),
+                                         b.astype(np.float64)))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-3,
+                               atol=1e-4)
+    res2 = run(jnp.asarray(b * 2.0))   # runner reuse, same trace
+    np.testing.assert_allclose(np.asarray(res2.x), 2.0 * x_ref,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_ir_degenerates_to_restarted_cg(spd, rng):
+    # low=None -> inner CG on A itself: still converges (restarted CG)
+    from tpu_spmv.solvers import ir_solve
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    b = rng.standard_normal(spd.shape[0])
+    res = ir_solve(A, jnp.asarray(b), inner_iters=30, maxiter=50,
+                   tol=1e-8)
+    assert bool(res.converged)
+    np.testing.assert_allclose(spd @ np.asarray(res.x), b, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_ir_validates_args(spd):
+    from tpu_spmv.solvers import ir_runner
+
+    with pytest.raises(ValueError, match="inner_iters"):
+        ir_runner(ts.convert(ts.COO.from_scipy(spd), "csr"), inner_iters=0)
+    with pytest.raises(ValueError, match="needs n="):
+        ir_runner(lambda v: v, inner_iters=4)

@@ -84,11 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve",
-                   choices=["cg", "pcg", "chebcg", "bicgstab", "gmres",
-                            "power", "lanczos", "sor"],
+                   choices=["cg", "pcg", "chebcg", "ir", "bicgstab",
+                            "gmres", "power", "lanczos", "sor"],
                    default=None,
                    help="run a solver on the matrix (cg / Jacobi-pcg / "
-                        "Chebyshev-polynomial-pcg need SPD; bicgstab / "
+                        "Chebyshev-polynomial-pcg need SPD; ir = "
+                        "mixed-precision iterative refinement, bf16-data "
+                        "inner CG + f32 true residual; bicgstab / "
                         "gmres handle general square matrices; power = "
                         "dominant eigenpair; lanczos = both spectrum "
                         "ends of a symmetric matrix; sor = multicolor "
@@ -97,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "time")
     p.add_argument("--tol", type=float, default=1e-6,
                    help="solver convergence tolerance (with --solve)")
+    p.add_argument("--inner-iters", type=int, default=100,
+                   help="with --solve ir: bf16 inner-CG steps per "
+                        "refinement cycle (more = fewer f32 residual "
+                        "recomputes, but a restart discards the Krylov "
+                        "history each cycle)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line per result instead of text")
@@ -374,6 +381,20 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
 
                 res = _sor(matvec, b, host_mat=host_mat.tocsr(),
                            tol=args.tol, maxiter=10_000)
+            elif args.solve == "ir":
+                from .solvers import CGResult as _CGR
+                from .solvers import ir_solve
+
+                # bf16-data inner plan of the SAME matrix: half the
+                # matrix bytes per inner SpMV, f32 true residual outside
+                low_plan = plan_spmv(host_mat, dtype=jnp.bfloat16,
+                                     use_pallas=args.pallas or None)
+                irres = ir_solve(solve_plan, b, low=low_plan,
+                                 inner_iters=args.inner_iters, maxiter=400,
+                                 tol=args.tol)
+                res = _CGR(x=irres.x, iterations=irres.outer_iterations,
+                           residual_norm=irres.residual_norm,
+                           converged=irres.converged)
             else:
                 res = cg(matvec, b, tol=args.tol, maxiter=10_000,
                          precond=precond)

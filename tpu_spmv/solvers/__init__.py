@@ -6,6 +6,7 @@ from .cg import (CGResult, cg, cg_runner, jacobi_preconditioner,
                  power_iteration)
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
 from .dist_cg import DistCGResult, dist_cg
+from .ir import IRResult, ir_runner, ir_solve
 from .krylov import KrylovResult, bicgstab, gmres
 from .lanczos import LanczosResult, eigsh_lanczos, lanczos
 from .lsqr import LSQRResult, lsqr
@@ -18,6 +19,7 @@ __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "CGMultiResult", "cg_multi", "cg_multi_runner",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
            "DistCGResult", "dist_cg",
+           "IRResult", "ir_solve", "ir_runner",
            "KrylovResult", "bicgstab", "gmres",
            "LanczosResult", "lanczos", "eigsh_lanczos",
            "LSQRResult", "lsqr",
