@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "time")
     p.add_argument("--tol", type=float, default=1e-6,
                    help="solver convergence tolerance (with --solve)")
+    p.add_argument("--solve-nrhs", type=int, metavar="K", default=0,
+                   help="with --solve cg: solve K right-hand sides at "
+                        "once through the strategy's SpMM kernel "
+                        "(k lockstep CG recurrences per MXU/stream "
+                        "batched product — far cheaper than K separate "
+                        "solves)")
     p.add_argument("--inner-iters", type=int, default=100,
                    help="with --solve ir: bf16 inner-CG steps per "
                         "refinement cycle (more = fewer f32 residual "
@@ -351,6 +357,26 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                     "wall_s": round(_time.time() - t0, 3)}
             msg = (f"    lanczos(k=80): spectrum in [{lmin:.6g}, "
                    f"{lmax:.6g}] ({line['wall_s']}s)")
+        elif args.solve == "cg" and args.solve_nrhs > 1:
+            from .solvers import cg_multi
+
+            rng_b = _np.random.default_rng(args.seed + 1)
+            B = jnp.asarray(rng_b.random((coo.shape[0], args.solve_nrhs)),
+                            dtype=dtype)
+            mres = cg_multi(solve_plan, B, tol=args.tol, maxiter=10_000)
+            jax.block_until_ready(mres.x)
+            rels = (_np.asarray(mres.residual_norm)
+                    / _np.linalg.norm(_np.asarray(B), axis=0))
+            line = {"solver": "cg", "strategy": solve_plan.strategy,
+                    "nrhs": args.solve_nrhs,
+                    "iterations": int(mres.iterations),
+                    "rel_residual_max": float(rels.max()),
+                    "converged": bool(_np.asarray(mres.converged).all()),
+                    "wall_s": round(_time.time() - t0, 3)}
+            msg = (f"    CG x{args.solve_nrhs} ({solve_plan.strategy}): "
+                   f"{line['iterations']} iters, max rel residual "
+                   f"{rels.max():.2e}, converged={line['converged']} "
+                   f"({line['wall_s']}s)")
         else:
             rng_b = _np.random.default_rng(args.seed + 1)
             b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)
