@@ -412,10 +412,23 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                 from .solvers import ir_solve
 
                 # bf16-data inner plan of the SAME matrix: half the
-                # matrix bytes per inner SpMV, f32 true residual outside
+                # matrix bytes per inner SpMV, f32 true residual outside.
+                # The hi plan must actually BE >= f32 for "f32 true
+                # residual" to hold — with --dtype bfloat16 solve_plan
+                # inherits bf16, so rebuild the hi plan in f32 (and the
+                # RHS with it) rather than silently refining to the
+                # bf16 floor under an f32-accuracy banner.
+                hi_plan = solve_plan
+                if jnp.dtype(dtype).itemsize < 4:
+                    print("    ir: --dtype is narrower than float32; "
+                          "building the hi-precision residual plan in "
+                          "float32 (bf16 stays on the inner solve)")
+                    hi_plan = plan_spmv(host_mat, dtype=jnp.float32,
+                                        use_pallas=args.pallas or None)
+                    b = jnp.asarray(_np.asarray(b), dtype=jnp.float32)
                 low_plan = plan_spmv(host_mat, dtype=jnp.bfloat16,
                                      use_pallas=args.pallas or None)
-                irres = ir_solve(solve_plan, b, low=low_plan,
+                irres = ir_solve(hi_plan, b, low=low_plan,
                                  inner_iters=args.inner_iters, maxiter=400,
                                  tol=args.tol)
                 res = _CGR(x=irres.x, iterations=irres.outer_iterations,

@@ -127,8 +127,12 @@ class COO:
     def to_scipy(self):
         import scipy.sparse as sp
 
+        data = np.asarray(self.data)
+        if data.dtype not in (np.float32, np.float64):
+            # scipy has no bfloat16 (or other narrow) dtype — widen
+            data = data.astype(np.float32)
         return sp.coo_matrix(
-            (np.asarray(self.data), (np.asarray(self.row), np.asarray(self.col))),
+            (data, (np.asarray(self.row), np.asarray(self.col))),
             shape=self.shape,
         )
 

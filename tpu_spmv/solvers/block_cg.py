@@ -45,7 +45,8 @@ def _as_matmat(A) -> Callable:
 
 
 def cg_multi_runner(A, *, iters: int, tol: float | None = None,
-                    precond: Callable | None = None) -> Callable:
+                    precond: Callable | None = None,
+                    report_tol: float = 1e-8) -> Callable:
     """Reusable compiled multi-RHS CG (the serving form — see
     :func:`~tpu_spmv.solvers.cg.cg_runner` for the calling convention).
 
@@ -58,6 +59,11 @@ def cg_multi_runner(A, *, iters: int, tol: float | None = None,
     With ``tol``: the loop exits once EVERY column converges (or at
     ``iters``); converged columns are frozen (their ``alpha``/``beta``
     forced to zero) so they hold their answer while stragglers finish.
+
+    ``report_tol`` sets the bar for the ``converged`` flags in fixed
+    mode only (``rnorm <= report_tol * ||b||`` per column); the default
+    1e-8 is f64-grade — pass ~1e-5 for f32/bf16 operands so the flags
+    reflect a genuinely converged solve (see ``cg_runner``).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -126,7 +132,7 @@ def cg_multi_runner(A, *, iters: int, tol: float | None = None,
         X0 = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0)
         if tol is None:
             X, rnorm, bnorm = run_fixed(B, X0)
-            limit = 1e-8 * jnp.maximum(bnorm, 1e-300)
+            limit = report_tol * jnp.maximum(bnorm, 1e-300)
             return CGMultiResult(x=X, iterations=jnp.int32(iters),
                                  residual_norm=rnorm,
                                  converged=rnorm <= limit)

@@ -127,7 +127,8 @@ def cg(A, b, *, x0=None, tol: float = 1e-8, maxiter: int = 1000,
 
 
 def cg_runner(A, *, iters: int, tol: float | None = None,
-              precond: Callable | None = None) -> Callable:
+              precond: Callable | None = None,
+              report_tol: float = 1e-8) -> Callable:
     """Build a REUSABLE compiled CG step for timing/serving loops.
 
     :func:`cg` constructs a fresh ``jax.jit`` closure per call, so every
@@ -147,6 +148,14 @@ def cg_runner(A, *, iters: int, tol: float | None = None,
     Reference analog: the reference ships BLAS-1 "solver support" it
     never drives (`/root/reference/src/vec_vec.cpp`); this is the
     production-loop form of driving it.
+
+    ``report_tol`` only affects the ``converged`` flag in fixed-iteration
+    mode (``tol=None``): the flag reads ``rnorm <= report_tol * ||b||``.
+    The default 1e-8 is an f64-grade bar — with f32 operands a fully
+    converged solve typically floors at ~1e-6..1e-7 relative, and bf16
+    data floors higher still, so pass e.g. ``report_tol=1e-5`` to make
+    the flag meaningful at those precisions (the solve itself is
+    unaffected either way).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -200,12 +209,16 @@ def cg_runner(A, *, iters: int, tol: float | None = None,
         def body(state):
             x, r, p, rz, it = state
             Ap = matvec(p)
-            alpha = rz / jnp.vdot(p, Ap)
+            # same 0/0 guards as run_fixed: f32 underflow can zero rz
+            # while rnorm is still above limit (strong preconditioners),
+            # and an unguarded divide would NaN-poison x
+            pAp = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
             x = x + alpha * p
             r = r - alpha * Ap
             z = M(r)
             rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
+            p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
             return (x, r, p, rz_new, it + 1)
 
         x, r, p, rz, it = lax.while_loop(cond, body,
@@ -218,7 +231,7 @@ def cg_runner(A, *, iters: int, tol: float | None = None,
         x0 = jnp.zeros_like(b) if x0 is None else enc(jnp.asarray(x0))
         if tol is None:
             x, rnorm, bnorm = run_fixed(b, x0)
-            limit = 1e-8 * jnp.maximum(bnorm, 1e-300)
+            limit = report_tol * jnp.maximum(bnorm, 1e-300)
             return CGResult(x=dec(x), iterations=jnp.int32(iters),
                             residual_norm=rnorm, converged=rnorm <= limit)
         x, it, rnorm, ok = run_tol(b, x0)

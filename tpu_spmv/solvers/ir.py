@@ -60,6 +60,19 @@ def _paired_spaces(A_hi, A_lo, n: int):
     try:
         same = (jax.eval_shape(enc_hi, probe).shape
                 == jax.eval_shape(enc_lo, probe).shape)
+        # Shape equality alone is necessary but not sufficient: a future
+        # strategy could pad to the same length while PERMUTING rows
+        # differently, silently mis-pairing the spaces.  Require the
+        # same strategy and, for the streaming plans, identical diagonal
+        # structure (equal L => identical row blocking and padding map).
+        st_hi = getattr(A_hi, "strategy", None)
+        st_lo = getattr(A_lo, "strategy", None)
+        same = same and st_hi == st_lo
+        if same and st_hi in ("dia_stream", "pdia_stream"):
+            same = (A_hi.matrix.L == A_lo.matrix.L
+                    and A_hi.matrix.rb == A_lo.matrix.rb
+                    and tuple(A_hi.matrix.offsets)
+                    == tuple(A_lo.matrix.offsets))
     except Exception:
         same = False
     if same:
