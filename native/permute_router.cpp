@@ -197,13 +197,46 @@ struct V3Tile {
   const int32_t* rv;       // vals row within tile [0, 128)
   const int32_t* rjcap;    // usable j-slots in the row's vals row
   int64_t nr;
+  // flow structure for cross-row redistribution: an element may ride ANY
+  // stage-2 row of its (src tile -> dst tile) flow — stage 1 is a free
+  // within-tile permutation, so reassigning an element to a sibling row
+  // changes nothing upstream.  eflow[e] is a GLOBAL flow id; rows of
+  // flow f are the r2 values frows[frow_off[f] .. frow_off[f+1]).
+  const int32_t* eflow;    // per element (tile-local view), global flow id
+  const int32_t* frow_off; // global flow CSR offsets
+  const int32_t* frows;    // global flow row table (r2 values, tile-local)
 };
 
-// Route one tile; lane[e] out.  Returns 0 on success, -1 infeasible.
+// Route one tile; lane[e] and er2_out[e] (possibly reassigned stage-2
+// row) out.  Returns 0 on success, the residual (r2, block) overflow
+// count when that is what failed (restart-worthiness signal), or -1 for
+// structural infeasibility (no free j slot / rowblk residue / coloring).
 // `salt` perturbs the greedy order (multi-restart escapes local minima).
-int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
-                  uint64_t salt) {
+int64_t v3_route_tile(const V3Tile& T, int32_t* lane, int32_t* er2_out,
+                      int32_t sweeps, uint64_t salt) {
   const int64_t ne = T.ne, nr = T.nr;
+  // ---- exact path for all-width-128 tiles (hub/wide-row tiles) ----------
+  // A W=128 row's j-window is the whole 128-lane row, so the block
+  // machinery below adds nothing: the v3 constraints reduce to "lanes
+  // proper at each stage-2 row AND at each vals row" — a proper
+  // 128-edge-coloring of the (r2, vals row) bipartite multigraph.  Both
+  // degrees are <= 128 by construction (<= qcap elements per stage-2
+  // row; <= 128 per matrix row), so Konig ALWAYS succeeds — these tiles
+  // were exactly the ones the load/rowblk greedy (avg fill 7.3/8) lost.
+  {
+    bool all128 = nr > 0;
+    for (int64_t r = 0; r < nr && all128; ++r)
+      if (T.rW[r] != 128) all128 = false;
+    if (all128) {
+      std::vector<int32_t> ed(ne);
+      for (int64_t e = 0; e < ne; ++e) ed[e] = T.rv[T.rowid[e]];
+      if (color_nq(T.r2, ed.data(), ne, QV, QV, QV, lane) == 0) {
+        for (int64_t e = 0; e < ne; ++e) er2_out[e] = T.r2[e];
+        return 0;
+      }
+      // can't happen by the degree argument; fall through to greedy
+    }
+  }
   // group elements by row
   std::vector<int64_t> rstart(nr + 1, 0), relems(ne);
   for (int64_t e = 0; e < ne; ++e) rstart[T.rowid[e] + 1]++;
@@ -435,17 +468,26 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
   // ---- element-level repair ----------------------------------------------
   // The row-level sweeps move WHOLE rows between j-slots; residual
   // overflows are typically single-digit (3-9 measured on power-law
-  // chunks) and need finer moves: an element may sit in ANY block of its
-  // row's j-window, so (a) move one element of an overloaded (r2, block)
-  // cell to a sibling block with room, or (b) swap the blocks of two
-  // same-row elements with different r2 when that opens room.  Also
-  // clears dst-side (row, block) > 8 cells the greedy spill can create.
+  // chunks) and need finer moves.  Three degrees of freedom per element:
+  //   (a) any block of its matrix row's j-window (move within its r2);
+  //   (b) swap blocks with a same-row element of a different r2;
+  //   (c) any sibling stage-2 row of its FLOW (er2 reassignment — the
+  //       element rides a different exchange row of the same (ts -> td)
+  //       flow; stage 1 is a free within-tile permutation, so upstream
+  //       nothing changes).  (c) is what clears the clustered-flow
+  //       overflows (1-11 units measured on power-law chunks) that
+  //       in-row moves cannot.
+  // Also clears dst-side (row, block) > 8 cells the greedy spill creates.
+  std::vector<int32_t> er2(ne);
+  for (int64_t e = 0; e < ne; ++e) er2[e] = T.r2[e];
   if (overflow_total() != 0) {
     std::vector<int32_t> rowblk((size_t)nr * NB, 0);
     for (int64_t e = 0; e < ne; ++e)
       rowblk[(size_t)T.rowid[e] * NB + eblock[e]]++;
+    std::vector<int32_t> r2cnt(QV, 0);
+    for (int64_t e = 0; e < ne; ++e) r2cnt[er2[e]]++;
     auto cell_bad = [&](int64_t e) {
-      return load[(size_t)T.r2[e] * NB + eblock[e]] > 8 ||
+      return load[(size_t)er2[e] * NB + eblock[e]] > 8 ||
              rowblk[(size_t)T.rowid[e] * NB + eblock[e]] > 8;
     };
     for (int32_t sweep = 0; sweep < 16; ++sweep) {
@@ -453,7 +495,7 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
       bool moved = false;
       for (int64_t e = 0; e < ne; ++e) {
         if (!cell_bad(e)) continue;
-        const int32_t rr = T.r2[e];
+        const int32_t rr = er2[e];
         const int64_t r = T.rowid[e];
         const int32_t bb = eblock[e];
         const int32_t W = T.rW[r], nbr = W / 8, b0 = rj[r] * nbr;
@@ -472,10 +514,42 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
           moved = done = true;
         }
         if (done) continue;
+        // (c) ride a sibling row of the flow: same block first (rowblk
+        // untouched), then any window block with room on both sides
+        if (T.eflow != nullptr &&
+            load[(size_t)rr * NB + bb] > 8) {   // (c) only fixes load
+          const int32_t f = T.eflow[e];
+          for (int32_t pass = 0; pass < 2 && !done; ++pass) {
+            for (int32_t fi = T.frow_off[f];
+                 fi < T.frow_off[f + 1] && !done; ++fi) {
+              const int32_t rr2 = T.frows[fi];
+              if (rr2 == rr || r2cnt[rr2] >= QV) continue;
+              for (int32_t d = 0; d < nbr && !done; ++d) {
+                const int32_t b2 = b0 + d;
+                if (pass == 0 && b2 != bb) continue;   // same-block pass
+                if (pass == 1 && b2 == bb) continue;
+                if (load[(size_t)rr2 * NB + b2] >= 8) continue;
+                if (b2 != bb && rowblk[(size_t)r * NB + b2] >= 8) continue;
+                load[(size_t)rr * NB + bb]--;
+                load[(size_t)rr2 * NB + b2]++;
+                if (b2 != bb) {
+                  rowblk[(size_t)r * NB + bb]--;
+                  rowblk[(size_t)r * NB + b2]++;
+                }
+                r2cnt[rr]--;
+                r2cnt[rr2]++;
+                er2[e] = rr2;
+                eblock[e] = b2;
+                moved = done = true;
+              }
+            }
+          }
+        }
+        if (done) continue;
         // (b) swap blocks with a same-row element of a different r2
         for (int64_t i = rstart[r]; i < rstart[r + 1] && !done; ++i) {
           const int64_t e2 = relems[i];
-          const int32_t rr2 = T.r2[e2];
+          const int32_t rr2 = er2[e2];
           const int32_t b2 = eblock[e2];
           if (e2 == e || b2 == bb || rr2 == rr) continue;
           if (load[(size_t)rr * NB + b2] >= 8) continue;   // e -> b2
@@ -501,10 +575,36 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
       }
   }
   if (overflow_total() != 0) {
-    if (getenv("V3_DEBUG"))
-      fprintf(stderr, "v3: residual overflow %lld (ne=%lld nr=%lld)\n",
-              (long long)overflow_total(), (long long)ne, (long long)nr);
-    return -1;
+    if (getenv("V3_DEBUG")) {
+      // decompose the residue: which side is stuck, and how much row
+      // freedom the flows actually had
+      int64_t bad_load = 0;
+      for (size_t i = 0; i < load.size(); ++i)
+        if (load[i] > 8) bad_load++;
+      int64_t single_row_flows = 0, multi_row_flows = 0;
+      if (T.eflow) {
+        std::vector<int32_t> seen;
+        for (int64_t e = 0; e < ne; ++e) {
+          const int32_t f = T.eflow[e];
+          bool dup = false;
+          for (int32_t s : seen) if (s == f) { dup = true; break; }
+          if (dup) continue;
+          seen.push_back(f);
+          if (T.frow_off[f + 1] - T.frow_off[f] > 1) multi_row_flows++;
+          else single_row_flows++;
+        }
+      }
+      // widths histogram of rows touching overloaded cells
+      int64_t w128_rows = 0;
+      for (int64_t r = 0; r < nr; ++r) if (T.rW[r] == 128) w128_rows++;
+      fprintf(stderr,
+              "v3: residual overflow %lld (ne=%lld nr=%lld badload=%lld "
+              "flows1=%lld flowsN=%lld w128rows=%lld)\n",
+              (long long)overflow_total(), (long long)ne, (long long)nr,
+              (long long)bad_load, (long long)single_row_flows,
+              (long long)multi_row_flows, (long long)w128_rows);
+    }
+    return overflow_total();
   }
 
   // ---- exact per-block coloring ------------------------------------------
@@ -515,7 +615,7 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
     es.reserve(ne / NB + 8);
     for (int64_t e = 0; e < ne; ++e) {
       if (eblock[e] != b) continue;
-      es.push_back(T.r2[e]);
+      es.push_back(er2[e]);
       ed.push_back(T.rv[T.rowid[e]]);
       eid.push_back(e);
     }
@@ -531,6 +631,7 @@ int v3_route_tile(const V3Tile& T, int32_t* lane, int32_t sweeps,
     for (size_t i = 0; i < eid.size(); ++i)
       lane[eid[i]] = 8 * b + col[i];
   }
+  for (int64_t e = 0; e < ne; ++e) er2_out[e] = er2[e];
   return 0;
 }
 
@@ -562,17 +663,33 @@ int32_t greedy_color(const int64_t* indptr, const int32_t* indices,
   return ncolors;
 }
 
+// ABI version of the v3 entry point below: Python refuses v3 routing when
+// the loaded .so reports a different version (stale build -> silent v2
+// fallback rather than a miscalled signature).
+int32_t v3_abi_version(void) { return 2; }
+
 // v3 routing over all destination tiles (OpenMP).  Element arrays are
-// grouped by tile via eoff; row tables via roff.  Writes lane[e]; returns
-// 0 on success or 1-based index of the first infeasible tile.
+// grouped by tile via eoff; row tables via roff.  eflow/frow_off/frows
+// describe the (ts -> td) flow structure for cross-row redistribution
+// (global flow ids; pass eflow=NULL to disable).  Writes lane[e] and
+// er2[e] (the element's possibly-reassigned stage-2 row); returns 0 on
+// success or 1-based index of the first infeasible tile.
 int64_t v3_route(const int32_t* r2, const int32_t* rowid,
                  const int64_t* eoff,
                  const int32_t* rW, const int32_t* rv, const int32_t* rjcap,
-                 const int64_t* roff, int64_t ntiles, int32_t sweeps,
-                 int32_t* lane) {
+                 const int64_t* roff,
+                 const int32_t* eflow, const int32_t* frow_off,
+                 const int32_t* frows,
+                 int64_t ntiles, int32_t sweeps,
+                 int32_t* lane, int32_t* er2) {
   int64_t failed = 0;
 #pragma omp parallel for schedule(dynamic)
   for (int64_t t = 0; t < ntiles; ++t) {
+    // the plan is all-or-nothing: once any tile is infeasible, skip the
+    // rest (racy read is a hint only — the critical write is the truth).
+    // Failing probes (the qcap ladder) get cheap instead of paying the
+    // full tile sweep per rung.
+    if (failed != 0) continue;
     V3Tile T;
     T.r2 = r2 + eoff[t];
     T.rowid = rowid + eoff[t];
@@ -581,11 +698,21 @@ int64_t v3_route(const int32_t* r2, const int32_t* rowid,
     T.rv = rv + roff[t];
     T.rjcap = rjcap + roff[t];
     T.nr = roff[t + 1] - roff[t];
+    T.eflow = eflow ? eflow + eoff[t] : nullptr;
+    T.frow_off = frow_off;
+    T.frows = frows;
     if (T.ne == 0) continue;
-    int ok = -1;
-    for (uint64_t restart = 0; restart < 8 && ok != 0; ++restart)
-      ok = v3_route_tile(T, lane + eoff[t], sweeps,
+    int64_t ok = -1;
+    for (uint64_t restart = 0; restart < 8 && ok != 0; ++restart) {
+      ok = v3_route_tile(T, lane + eoff[t], er2 + eoff[t], sweeps,
                          restart * 0x2545f4914f6cdd1dULL);
+      // persistent LARGE residual overflow: three salted restarts that
+      // never get below 24 are not going to land a zero on the next
+      // five (restarts do rescue tiles whose first attempt is dozens
+      // over — the 700k uniform pack needs them — so only an all-large
+      // streak aborts)
+      if (restart >= 2 && ok > 24) break;
+    }
     if (ok != 0) {
 #pragma omp critical
       if (failed == 0 || t + 1 < failed) failed = t + 1;

@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from tpu_spmv.kernels import gpr, permute as _perm
-from tpu_spmv.utils import random_sparse, power_law_sparse
+from tpu_spmv.utils import random_sparse
 
 Q = _perm.Q
 TILE = _perm.TILE
@@ -84,27 +84,40 @@ def analyze(name, perm):
                   f"(send_max={smax} recv_max={rmax})")
 
 
-def capture_pack(label, mat):
+def capture_pack(label, mat, chunked=False):
     captured.clear()
     _perm.plan_permutation = spy_plan
     try:
         try:
-            gpr.pack_gpr(mat, dtype=np.float32)
+            if chunked:
+                gpr.pack_gpr_chunked(mat, dtype=np.float32)
+            else:
+                gpr.pack_gpr(mat, dtype=np.float32)
         except Exception as e:
             print(f"[{label}] pack raised: {type(e).__name__}: {e}")
     finally:
         _perm.plan_permutation = orig_plan
     calls = captured.get("calls", [])
     print(f"[{label}] plan_permutation called {len(calls)} times: "
-          + ", ".join(str(c['kw']) for c in calls))
-    # the LAST call is the one that succeeded (v2 fallback); all carry the
-    # same perm
-    if calls:
-        analyze(label, calls[-1]["perm"])
+          + ", ".join(f"n={len(c['perm'])} {c['kw']}" for c in calls))
+    # analyze each v3-strict (payload) call
+    for i, c in enumerate(calls):
+        if c["kw"].get("v3_strict"):
+            analyze(f"{label} call{i}", c["perm"])
 
 
 if __name__ == "__main__":
-    n = 100_000
-    mat = random_sparse(n, n, 7e-5, seed=2, dtype=np.float32)
-    print(f"bench gpr matrix: {mat.nnz} nnz")
-    capture_pack("gpr700k", mat.tocsr())
+    from tpu_spmv.utils import power_law
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "gpr"):
+        n = 100_000
+        mat = random_sparse(n, n, 7e-5, seed=2, dtype=np.float32)
+        print(f"bench gpr matrix: {mat.nnz} nnz")
+        capture_pack("gpr700k", mat.tocsr())
+    if which in ("all", "pl"):
+        n = 200_000
+        pl = power_law(n, n, avg_nnz_per_row=8, alpha=1.5, seed=6,
+                       dtype=np.float32)
+        print(f"bench power-law matrix: {pl.nnz} nnz")
+        capture_pack("powerlaw", pl.tocsr(), chunked=True)

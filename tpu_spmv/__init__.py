@@ -32,7 +32,7 @@ from .formats import COO, CSR, CSC, ELL, DIA, BSR, BDIA, convert, to_coo, FORMAT
 from .ops import (
     spmv, spmm, dot, axpby, axpy, fill, fill_random, scale, shift,
     norm2, check_vector, allclose, plan_spmv, transpose,
-    shift_diagonal, spgemm,
+    shift_diagonal, spgemm, spgemm_csr,
 )
 from .io import read_matrix, write_matrix, read_dense, write_dense
 from . import solvers
@@ -44,7 +44,7 @@ __all__ = [
     "FORMATS",
     "spmv", "spmm", "dot", "axpby", "axpy", "fill", "fill_random", "scale",
     "shift", "norm2", "check_vector", "allclose", "plan_spmv", "transpose",
-    "shift_diagonal", "spgemm",
+    "shift_diagonal", "spgemm", "spgemm_csr",
     "read_matrix", "write_matrix", "read_dense", "write_dense",
     "solvers",
     "__version__",

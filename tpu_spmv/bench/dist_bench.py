@@ -33,7 +33,31 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--balance", choices=["nnz", "rows"], default="nnz")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="weak-scaling sweep: ndev in {1,2,4,8} with the "
+                        "grid scaled to hold nnz/device constant; emits "
+                        "{ndev, gnnz_per_s, efficiency_pct} per point "
+                        "(BASELINE config 5's >=80% weak-scaling metric)")
+    p.add_argument("--out", default=None, metavar="FILE",
+                   help="with --sweep: also write the sweep JSON here")
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="force the CPU backend with N virtual devices "
+                        "(must be first jax use in the process; the "
+                        "virtual mesh validates machinery + measures "
+                        "collective overhead, not real scaling)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count"
+                        f"={args.cpu}").strip()
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -44,58 +68,94 @@ def main(argv=None) -> int:
     from ..utils import laplacian_2d
     from .harness import time_chained
 
-    ndev = args.ndev or len(jax.devices())
-    mesh = dist.make_mesh(ndev)
-    mat = laplacian_2d(args.grid)
-    csr = CSR.from_scipy(mat.astype(np.float32))
-    n, nnz = csr.shape[0], csr.nnz
-    print(f"dist_bench: n={n} nnz={nnz} ndev={ndev} "
-          f"devices={jax.devices()[0].device_kind}", file=sys.stderr)
-    x = np.random.default_rng(0).random(n).astype(np.float32)
-    scale = np.float32(1.0 / abs(mat).sum(axis=1).max())
+    def bench_point(grid: int, ndev: int, strategies) -> list:
+        mesh = dist.make_mesh(ndev)
+        mat = laplacian_2d(grid)
+        csr = CSR.from_scipy(mat.astype(np.float32))
+        n, nnz = csr.shape[0], csr.nnz
+        print(f"dist_bench: grid={grid} n={n} nnz={nnz} ndev={ndev} "
+              f"devices={jax.devices()[0].device_kind}", file=sys.stderr)
+        x = np.random.default_rng(0).random(n).astype(np.float32)
+        scale = np.float32(1.0 / abs(mat).sum(axis=1).max())
+        out = []
+        for strat in strategies:
+            if strat == "halo":
+                A = dist.HaloCSR.build(csr, ndev, balance=args.balance,
+                                       square=True)
+                spmv = lambda v: dist.spmv_halo(mesh, A, v)
+            else:
+                A = dist.ShardedCSR.build(csr, ndev, balance=args.balance,
+                                          square=True)
+                spmv = lambda v: dist.spmv_allgather(mesh, A, v)
+            A = dist.place(A, mesh)
+            xs = dist.place(dist.ShardedVector.from_global(x, A.row_plan),
+                            mesh)
 
-    results = []
+            # correctness first (the reference never checked — SURVEY Q1)
+            y = spmv(xs).to_global()
+            ref = mat @ x.astype(np.float64)
+            rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
+            assert rel < 2e-5, f"{strat}: rel err {rel}"
+
+            def step(v):
+                return dist.blas.scale(spmv(v), scale)
+
+            sec = time_chained(step, xs, iters=args.iters)
+            out.append({
+                "strategy": strat, "ndev": ndev, "grid": grid,
+                "n": n, "nnz": nnz,
+                "us_per_spmv": round(sec * 1e6, 2),
+                "gnnz_per_s": round(nnz / sec / 1e9, 3),
+                "gflops": round(2 * nnz / sec / 1e9, 3),
+                "rel_err": rel,
+            })
+        return out
+
     strategies = (["allgather", "halo"] if args.strategy == "both"
                   else [args.strategy])
-    for strat in strategies:
-        if strat == "halo":
-            A = dist.HaloCSR.build(csr, ndev, balance=args.balance,
-                                   square=True)
-            spmv = lambda v: dist.spmv_halo(mesh, A, v)
-        else:
-            A = dist.ShardedCSR.build(csr, ndev, balance=args.balance,
-                                      square=True)
-            spmv = lambda v: dist.spmv_allgather(mesh, A, v)
-        A = dist.place(A, mesh)
-        xs = dist.place(dist.ShardedVector.from_global(x, A.row_plan), mesh)
+    nall = len(jax.devices())
 
-        # correctness first (the reference never checked — SURVEY.md Q1)
-        y = spmv(xs).to_global()
-        ref = mat @ x.astype(np.float64)
-        rel = float(np.max(np.abs(y - ref)) / np.max(np.abs(ref)))
-        assert rel < 2e-5, f"{strat}: rel err {rel}"
+    if args.sweep:
+        # weak scaling: nnz/device held ~constant (nnz ~ 5 grid^2, so
+        # grid scales by sqrt(ndev)); efficiency is per-device throughput
+        # relative to the ndev=1 point of the SAME strategy
+        ndevs = [d for d in (1, 2, 4, 8) if d <= nall]
+        sweep = {s: [] for s in strategies}
+        for d in ndevs:
+            grid_d = int(round(args.grid * d ** 0.5))
+            for line in bench_point(grid_d, d, strategies):
+                sweep[line["strategy"]].append(line)
+        report = {"mode": "weak_scaling", "base_grid": args.grid,
+                  "device_kind": jax.devices()[0].device_kind,
+                  "virtual_mesh": jax.devices()[0].platform == "cpu",
+                  "points": []}
+        for s in strategies:
+            base = sweep[s][0]
+            base_per_dev = base["gnnz_per_s"] / base["ndev"]
+            for line in sweep[s]:
+                per_dev = line["gnnz_per_s"] / line["ndev"]
+                line["efficiency_pct"] = round(
+                    100.0 * per_dev / base_per_dev, 1)
+                report["points"].append(line)
+                print(f"    {s} ndev={line['ndev']} grid={line['grid']}: "
+                      f"{line['gnnz_per_s']} Gnnz/s, "
+                      f"{line['efficiency_pct']}% weak-scaling eff")
+        print(json.dumps(report))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+        return 0
 
-        def step(v):
-            out = spmv(v)
-            return dist.blas.scale(out, scale)
-
-        sec = time_chained(step, xs, iters=args.iters)
-        nnz_per_s = nnz / sec
-        line = {
-            "strategy": strat, "ndev": ndev, "n": n, "nnz": nnz,
-            "us_per_spmv": round(sec * 1e6, 2),
-            "gnnz_per_s": round(nnz_per_s / 1e9, 3),
-            "gflops": round(2 * nnz / sec / 1e9, 3),
-            "rel_err": rel,
-        }
-        results.append(line)
+    ndev = args.ndev or nall
+    for line in bench_point(args.grid, ndev, strategies):
         if args.json:
             print(json.dumps(line))
         else:
-            print(f"### CSR DIST-{strat.upper()} GFLOPS = "
+            print(f"### CSR DIST-{line['strategy'].upper()} GFLOPS = "
                   f"{line['gflops']:.5f}")
-            print(f"    {strat}: {line['us_per_spmv']} us/iter | "
-                  f"{line['gnnz_per_s']} Gnnz/s | rel_err={rel:.2e}")
+            print(f"    {line['strategy']}: {line['us_per_spmv']} us/iter"
+                  f" | {line['gnnz_per_s']} Gnnz/s | "
+                  f"rel_err={line['rel_err']:.2e}")
     return 0
 
 

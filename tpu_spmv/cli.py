@@ -84,8 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the sweep into DIR "
                         "(view with TensorBoard/Perfetto)")
     p.add_argument("--solve",
-                   choices=["cg", "pcg", "chebcg", "ir", "bicgstab",
-                            "gmres", "power", "lanczos", "sor"],
+                   choices=["cg", "pcg", "chebcg", "mgpcg", "ir",
+                            "bicgstab", "gmres", "power", "lanczos",
+                            "sor"],
                    default=None,
                    help="run a solver on the matrix (cg / Jacobi-pcg / "
                         "Chebyshev-polynomial-pcg need SPD; ir = "
@@ -381,6 +382,29 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
             rng_b = _np.random.default_rng(args.seed + 1)
             b = jnp.asarray(rng_b.random(coo.shape[0]), dtype=dtype)
             precond = None
+            if args.solve == "mgpcg":
+                # geometric multigrid: grid operators only — recover the
+                # grid shape from the synthetic spec
+                from .solvers import mg_preconditioner
+
+                spec = args.synthetic or ""
+                name, _, argstr = spec.partition(":")
+                dims = [int(a) for a in argstr.split(",") if a] or []
+                if name == "laplacian":
+                    gx = dims[0] if dims else 256
+                    gy = dims[1] if len(dims) > 1 else gx
+                    shape = (gx, gy)
+                elif name == "laplacian3d":
+                    gx = dims[0] if dims else 32
+                    gy = dims[1] if len(dims) > 1 else gx
+                    gz = dims[2] if len(dims) > 2 else gy
+                    shape = (gx, gy, gz)
+                else:
+                    raise SystemExit(
+                        "tpu_spmv: --solve mgpcg needs a grid operator "
+                        "(--synthetic laplacian:N / laplacian3d:N); for "
+                        "general SPD matrices use pcg/chebcg")
+                precond = mg_preconditioner(shape)
             if args.solve in ("pcg", "chebcg"):
                 # Jacobi from the HOST diagonal: packed strategy formats
                 # don't support the convert() the format-based helper uses

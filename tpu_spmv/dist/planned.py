@@ -22,10 +22,12 @@ Wrap-around garbage at ring edges is harmless by construction: DIA/BDIA
 ``data`` is zero wherever the diagonal leaves the matrix, so the wrapped
 x values multiply zero.
 
-General patterns (no gather-free formulation) fall back to the
-``HaloCSR``/segment-sum path in :mod:`tpu_spmv.dist.spmv`; packing the
-per-shard GPR pipeline under SPMD needs uniform pack shapes across shards
-(future work, CLAUDE.md roadmap).
+General patterns run :class:`ShardedGPR` (below): each shard packs its
+own GPR pipeline against the FULL column space (the all-gathered x), with
+per-shard pack shapes reconciled by padding the per-shard tile counts to
+the max — the uniform-shape requirement SPMD imposes.  Patterns that
+cannot pack (or exceed the per-shard envelope) fall back to the
+``HaloCSR``/segment-sum path in :mod:`tpu_spmv.dist.spmv`.
 """
 
 from __future__ import annotations

@@ -422,12 +422,11 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                 except _perm.V3Infeasible:
                     plan = None
                 except ValueError:
-                    # budget infeasible at the forced fill — lower qcap
-                    # only inflates rows further (same reasoning as the
-                    # natural ladder); stop probing, let the v2 attempt
-                    # below raise to the caller's natural-pack fallback
+                    # budget infeasible at the forced fill at this qcap —
+                    # keep probing: the ladder's 128 rung has exactly
+                    # the v2 row budget, so it can still route where a
+                    # smaller qcap inflates rows past the cap
                     plan = None
-                    break
         if plan is None:
             hp = {}
             plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,
@@ -448,10 +447,9 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                 except _perm.V3Infeasible:
                     plan = None
                 except ValueError:
-                    # single-level budget infeasible — lower qcap only
-                    # inflates rows further; go straight to the v2 path
+                    # single-level budget infeasible at this qcap — keep
+                    # probing: the 128 rung matches v2's budget exactly
                     plan = None
-                    break
         if plan is None:
             # single_level_only raises before any coloring when the flows
             # need two-level routing — the adaptive chunker splits instead
@@ -1292,7 +1290,33 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
                                  side="right")) - 1
         return min(max(hi, lo + 1), nrow)
 
-    def pack_block(lo, hi, depth=0, rp_hint=None):
+    def v3_split_retry(lo, hi, p, ho, rp_hint):
+        """A big fused block that landed on v2 (the v3 ladder found no
+        coloring — hub-heavy heads of skewed distributions): try ONE
+        split into halves, which typically route v3 at the smaller fill
+        (measured: power-law 700k-nnz head chunk fails, its ~350k halves
+        route).  Halves are forced to the block's own rp128 so the
+        chunk-fold stays coherent; kept only if BOTH halves land v3."""
+        nnz_blk = int(indptr[hi]) - int(indptr[lo])
+        if (not ENGINE_V3 or p.fused_v3 or not p.fused or hi - lo <= 1
+                or nnz_blk < 400_000):
+            return [(lo, hi, p, ho)]
+        hint = rp_hint
+        if hint is None and "s1" in ho:
+            hint = int(ho["s1"]["rp128"])
+        mid = cut(lo, max(nnz_blk // 2, 1))
+        if mid >= hi or mid <= lo:
+            return [(lo, hi, p, ho)]
+        try:
+            halves = (pack_block(lo, mid, 4, hint, v3_retry=False)
+                      + pack_block(mid, hi, 4, hint, v3_retry=False))
+        except ValueError:
+            return [(lo, hi, p, ho)]
+        if all(q.fused_v3 for (_, _, q, _) in halves):
+            return halves
+        return [(lo, hi, p, ho)]
+
+    def pack_block(lo, hi, depth=0, rp_hint=None, v3_retry=True):
         last = hi - lo <= 1 or depth >= 4
         if rp_hint is not None:
             # try the sibling chunks' stage-1 tile fill first: a shared
@@ -1303,6 +1327,8 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
             try:
                 p = pack_gpr(csr[lo:hi], dtype=dtype, host_out=ho,
                              defer_s1=True, force_rp=rp_hint)
+                if v3_retry:
+                    return v3_split_retry(lo, hi, p, ho, rp_hint)
                 return [(lo, hi, p, ho)]
             except ValueError:
                 pass
@@ -1326,6 +1352,8 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
                                           host_out=ho, defer_s1=True), ho)]
             return (pack_block(lo, mid, depth + 1, rp_hint)
                     + pack_block(mid, hi, depth + 1, rp_hint))
+        if v3_retry:
+            return v3_split_retry(lo, hi, p, ho, rp_hint)
         return [(lo, hi, p, ho)]
 
     blocks = []

@@ -272,28 +272,45 @@ class PermutationPlan:
         return int(self.a2.shape[0])
 
 
+#: required ABI version of the native v3 entry (native/permute_router.cpp
+#: v3_abi_version); a stale .so silently disables v3 instead of crashing
+V3_ABI = 2
+
+
 def _v3_router():
     """The native v3 routing entry (engine v3, see gpr.py) or None."""
     lib = _native_router()
     if lib is None or not hasattr(lib, "v3_route"):
         return None
     if not getattr(lib, "_v3_sig", False):
+        if not hasattr(lib, "v3_abi_version"):
+            return None
+        lib.v3_abi_version.restype = _ctypes.c_int32
+        lib.v3_abi_version.argtypes = []
+        if int(lib.v3_abi_version()) != V3_ABI:
+            return None
         I32 = _ctypes.POINTER(_ctypes.c_int32)
         I64 = _ctypes.POINTER(_ctypes.c_int64)
         lib.v3_route.restype = _ctypes.c_int64
         lib.v3_route.argtypes = [I32, I32, I64, I32, I32, I32, I64,
-                                 _ctypes.c_int64, _ctypes.c_int32, I32]
+                                 I32, I32, I32,
+                                 _ctypes.c_int64, _ctypes.c_int32, I32, I32]
         lib._v3_sig = True
     return lib
 
 
 #: stage-2 row fill for engine-v3 packs: < 128 leaves the (exchange row,
 #: 8-lane block) budget the slack that makes color-as-final-lane routing
-#: feasible (full 128-element rows need a PERFECT 8-per-block spread).
-#: Feasibility is not monotonic in problem size (it depends on tile
-#: fullness after the r_p search), so producers probe the LADDER in order
-#: and take the first qcap that routes (larger = fewer stage-2 rows).
-V3_QCAP_LADDER = (112, 96, 80)
+#: feasible (full 128-element rows need a PERFECT 8-per-block spread —
+#: though all-width-128 tiles route EXACTLY at any fill via the direct
+#: Konig path, and the flow-redistribution repair recovers most mixed
+#: tiles).  Feasibility is not monotonic in problem size (it depends on
+#: tile fullness after the r_p search), so producers probe the LADDER in
+#: order and take the first qcap that routes.  128 comes second: its row
+#: budget is exactly v2's (always feasible when v2 is), which keeps
+#: large chunks in the v3 game when 112 fails the budget (the 700k-nnz
+#: power-law chunk, VERDICT r3).
+V3_QCAP_LADDER = (112, 128, 96, 80)
 
 
 class V3Infeasible(Exception):
@@ -361,35 +378,56 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
                   else range(start, Q - 1, -1024))
     if nr == 0:
         candidates = [force_r_p or start]
-    for cand in candidates:
+    def budget_at(cand, fill):
+        """(T, send, recv) row-budget accounting at uniform ``fill``."""
         T_c = max(-(-n // cand), 1)
-        if nr == 0:
-            r_p = cand
-            break
         ts_c = rperm // cand
         td_c = ridx // cand
-        pair = ts_c * T_c + td_c
-        # budget: rows = ceil(pair-chunk / 128) per (src, dst) tile pair
+        pair_c = ts_c * T_c + td_c
+        # budget: rows = ceil(pair-chunk / fill) per (src, dst) tile pair
         # (bincount over the pair key; cheaper than unique's sort)
-        cnt_all = np.bincount(pair, minlength=T_c * T_c) \
+        cnt_all = np.bincount(pair_c, minlength=T_c * T_c) \
             if T_c * T_c <= max(4 * n, 1 << 20) else None
         if cnt_all is not None:
             nzp = np.flatnonzero(cnt_all)
-            rows_per_pair = -(-cnt_all[nzp] // qcap)
+            rows_per_pair = -(-cnt_all[nzp] // fill)
             send = np.bincount(nzp // T_c, weights=rows_per_pair,
                                minlength=T_c)
             recv = np.bincount(nzp % T_c, weights=rows_per_pair,
                                minlength=T_c)
         else:
-            uniq, cnt = np.unique(pair, return_counts=True)
-            rows_per_pair = -(-cnt // qcap)
+            uniq, cnt = np.unique(pair_c, return_counts=True)
+            rows_per_pair = -(-cnt // fill)
             send = np.bincount(uniq // T_c, weights=rows_per_pair,
                                minlength=T_c)
             recv = np.bincount(uniq % T_c, weights=rows_per_pair,
                                minlength=T_c)
+        return T_c, send, recv
+
+    # v3 requests (qcap < Q) use ADAPTIVE per-flow fill below: the search
+    # may accept an r_p whose budget only closes at full Q fill — flows
+    # on overloaded tiles then fill to Q while the rest keep the qcap
+    # slack the router wants.  Pure-v2 planning keeps uniform qcap.
+    adaptive = v3_meta is not None and qcap < Q
+    for cand in candidates:
+        if nr == 0:
+            r_p = cand
+            break
+        T_c, send, recv = budget_at(cand, qcap)
         if send.max() <= Q and recv.max() <= Q:
             r_p = cand
             break
+    if r_p is None and adaptive:
+        # no fill is fully qcap-feasible: SECOND sweep accepting fills
+        # that only close at Q — the per-flow adaptation below then keeps
+        # qcap slack everywhere the budget allows.  A second sweep (not
+        # an inline fallback) so any fully-qcap-feasible smaller r_p
+        # always wins over a bigger r_p with full rows.
+        for cand in candidates:
+            T_c, send, recv = budget_at(cand, Q)
+            if send.max() <= Q and recv.max() <= Q:
+                r_p = cand
+                break
     if r_p is None:
         raise ValueError(
             f"no feasible single-level routing for n={n}; use "
@@ -413,8 +451,32 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     grp_start[new_pair] = np.flatnonzero(new_pair)
     grp_start = np.maximum.accumulate(grp_start)
     pos_in_grp = np.arange(nr) - grp_start
-    chunk = pos_in_grp // qcap        # chunk index within group
-    lane = (pos_in_grp % qcap).astype(np.int64)
+    grp_id = np.cumsum(new_pair) - 1 if nr else np.zeros(0, np.int64)
+    ngrp = int(grp_id[-1]) + 1 if nr else 0
+    # per-flow fill: qcap everywhere, raised to Q only for flows touching
+    # tiles whose row budget overflows at qcap (adaptive v3 mode) — full
+    # rows cost the router its block slack, so pay that price only where
+    # the budget forces it.  Terminates: all-Q fill is the r_p search's
+    # accepted accounting.
+    fill_g = np.full(max(ngrp, 1), qcap, dtype=np.int64)
+    if adaptive and nr:
+        g_ts = ts_o[new_pair]
+        g_td = td_o[new_pair]
+        g_cnt = np.bincount(grp_id, minlength=ngrp)
+        for _ in range(32):
+            g_rows = -(-g_cnt // fill_g)
+            send_c = np.bincount(g_ts, weights=g_rows, minlength=T)
+            recv_c = np.bincount(g_td, weights=g_rows, minlength=T)
+            over = (send_c > Q) | (recv_c > Q)
+            if not over.any():
+                break
+            bump = (over[g_ts] | over[g_td]) & (fill_g < Q)
+            if not bump.any():
+                break
+            fill_g[bump] = Q
+    fill_e = fill_g[grp_id] if nr else np.zeros(0, np.int64)
+    chunk = pos_in_grp // fill_e      # chunk index within group
+    lane = pos_in_grp % fill_e
     # unique (pair, chunk) -> a stage-2 row
     ckey = pair * (2 * Q + 1) + np.minimum(chunk, 2 * Q)
     new_row = np.ones(nr, dtype=bool)
@@ -449,6 +511,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
 
     # ---- engine v3: color-as-final-lane routing (see docstring) ----------
     v3_ok = False
+    row_id_eff = row_id_of_elem   # may be rewritten by v3 redistribution
     if v3_meta is not None and nr and T > 0:
         lib = _v3_router()
         if lib is not None:
@@ -478,7 +541,26 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
             rjc = np.ascontiguousarray(
                 jcap_e[eorder][newr3].astype(np.int32))
             r2_s = np.ascontiguousarray(r2_e[eorder].astype(np.int32))
+            # flow structure for cross-row redistribution: stage-2 rows
+            # grouped by (td, ts); an element may ride any row of its
+            # flow (stage 1 is a free within-tile permutation)
+            frorder = np.lexsort((row_ts, row_td))
+            fkey = row_td[frorder] * T + row_ts[frorder]
+            newf = np.r_[True, fkey[1:] != fkey[:-1]]
+            flow_sorted = np.cumsum(newf) - 1
+            nflows = int(flow_sorted[-1]) + 1
+            flow_of_row = np.empty(nrows, np.int64)
+            flow_of_row[frorder] = flow_sorted
+            frows_tab = np.ascontiguousarray(
+                r2[frorder].astype(np.int32))
+            frow_off = np.zeros(nflows + 1, np.int64)
+            np.cumsum(np.bincount(flow_sorted, minlength=nflows),
+                      out=frow_off[1:])
+            frow_off = np.ascontiguousarray(frow_off.astype(np.int32))
+            eflow = np.ascontiguousarray(
+                flow_of_row[row_id_of_elem][eorder].astype(np.int32))
             v3lane = np.full(nr, -1, np.int32)
+            v3er2 = np.full(nr, -1, np.int32)
             I32 = _ctypes.POINTER(_ctypes.c_int32)
             I64 = _ctypes.POINTER(_ctypes.c_int64)
             p32 = lambda a: a.ctypes.data_as(I32)
@@ -487,12 +569,24 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
             roff_c = np.ascontiguousarray(roff)
             rc = lib.v3_route(p32(r2_s), p32(rowid_l), p64(eoff_c),
                               p32(rW), p32(rv), p32(rjc), p64(roff_c),
-                              T, 8, p32(v3lane))
+                              p32(eflow), p32(frow_off), p32(frows_tab),
+                              T, 8, p32(v3lane), p32(v3er2))
             if rc == 0:
                 # back to `order` element order
                 lane_new = np.empty(nr, np.int64)
                 lane_new[eorder] = v3lane
                 lane = lane_new
+                # redistribution may have moved elements to sibling rows
+                # of their flow: adopt the router's per-element r2 and
+                # remap each element to the row it now rides (same (ts,
+                # td); r1 follows via the (td, r2) -> row lookup)
+                r2_new = np.empty(nr, np.int64)
+                r2_new[eorder] = v3er2
+                rowid_by_td_r2 = np.full(T * Q, -1, np.int64)
+                rowid_by_td_r2[row_td * Q + r2] = np.arange(nrows)
+                row_id_eff = rowid_by_td_r2[td_o * Q + r2_new]
+                assert row_id_eff.min() >= 0, "v3 er2 not a flow row"
+                r2_e = r2_new
                 v3_ok = True
                 # b2[t, c, r'] = r2 of the element with final lane c and
                 # vals row r'; unfilled slots read an r2 whose product is
@@ -530,7 +624,10 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
     # ---- stage-1 per-tile permutations -----------------------------------
     # element (in `order`) moves within src tile ts_o: from sp -> (r1, lane)
     sp_o = sp_all[order]
-    dst1 = r1[row_id_of_elem] * Q + lane              # target pos within tile
+    # v3 redistribution may have moved elements between their flow's rows:
+    # row_id_eff is the row each element actually rides (== row_id_of_elem
+    # on the v2 path)
+    dst1 = r1[row_id_eff] * Q + lane                  # target pos within tile
     # build full within-tile perms; unused slots self-map
     perm1 = np.tile(np.arange(TILE, dtype=np.int64), (T, 1))
     used = np.zeros((T, TILE), dtype=bool)
@@ -614,7 +711,7 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
             # exchange row r2, final lane) when the kernel multiplies
             host_planes["v3_elem"] = dict(
                 dst_pos=ridx[order], td=td_o,
-                r2=r2[row_id_of_elem], lane=lane)
+                r2=r2[row_id_eff], lane=lane)
     # index planes hold lane/sublane/color ids < 128 → int8 halves their
     # HBM traffic (they are the bulk of an engine pass's bytes); kernels
     # upcast per tile in VMEM

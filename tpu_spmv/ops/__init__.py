@@ -11,7 +11,7 @@ from .spmm import (
 from .auto import plan_spmv, analyze, SpmvPlan
 from .transpose import transpose
 from .shift import shift_diagonal
-from .spgemm import spgemm
+from .spgemm import spgemm, spgemm_csr
 from .blas1 import (
     dot, axpby, axpy, add2scaled, fill, fill_random, scale, shift,
     norm2, check_vector, allclose,
@@ -23,7 +23,7 @@ __all__ = [
     "spmm", "spmm_coo", "spmm_csr", "spmm_csc", "spmm_ell", "spmm_dia",
     "spmm_bsr", "spmm_bdia",
     "plan_spmv", "analyze", "SpmvPlan", "transpose",
-    "shift_diagonal", "spgemm",
+    "shift_diagonal", "spgemm", "spgemm_csr",
     "dot", "axpby", "axpy", "add2scaled", "fill", "fill_random", "scale",
     "shift", "norm2", "check_vector", "allclose",
 ]

@@ -21,8 +21,16 @@ This is what operator ASSEMBLY needs on TPU: ``spgemm(A, A)`` builds
 result is a plain :class:`~tpu_spmv.formats.dia.DIA` — it flows into
 ``pack_sdia`` / ``pack_psdia`` / the planner like any other operand.
 
-General formats raise with a pointer to scipy (a host-side product is
-the honest answer for unstructured patterns at this repo's scale).
+General (unstructured) patterns go through :func:`spgemm_csr`: a HOST
+symbolic phase (the Gustavson pair expansion and output-pattern dedup —
+pure numpy, the same planner-side split every packed kernel here uses)
+and a DEVICE numeric phase (gather-multiply-segment-sum over the
+pre-sorted pair arrays, one jitted pass).  The split matters on TPU
+twice over: the symbolic phase is data-dependent control flow XLA cannot
+compile, and once it is host-side the numeric phase is static-shape and
+re-runnable — same-structure re-products (iterated A·(A·x) assembly,
+learned values) hit the jit cache with zero host work.
+
 No reference counterpart (`/root/reference` has no matrix-matrix ops).
 """
 
@@ -35,9 +43,9 @@ import jax.numpy as jnp
 
 import functools
 
-from ..formats import DIA
+from ..formats import CSR, DIA
 
-__all__ = ["spgemm"]
+__all__ = ["spgemm", "spgemm_csr"]
 
 
 @functools.partial(jax.jit, static_argnames=("offs_a", "offs_b", "sums"))
@@ -69,13 +77,101 @@ def _shift_fill(v: jax.Array, s: int) -> jax.Array:
     return jnp.pad(jax.lax.slice_in_dim(v, 0, max(n + s, 0)), (min(-s, n), 0))
 
 
-def spgemm(A, B) -> DIA:
-    """``C = A @ B`` for DIA operands (square, matching inner dim)."""
+@functools.partial(jax.jit, static_argnames=("nnz_c",))
+def _csr_numeric(adata, bdata, pa, pb, seg, nnz_c):
+    """Device numeric phase: multiply the expanded pairs, segment-sum
+    into the (pre-sorted, deduped) output slots."""
+    prod = jnp.take(adata, pa) * jnp.take(bdata, pb)
+    return jax.ops.segment_sum(prod, seg, num_segments=nnz_c,
+                               indices_are_sorted=True)
+
+
+def spgemm_csr(A, B, *, dtype=None, max_pairs: int = 200_000_000) -> CSR:
+    """``C = A @ B`` for GENERAL sparse operands: host symbolic +
+    device numeric (see module docstring).
+
+    ``A``/``B`` are scipy sparse matrices or :class:`~tpu_spmv.formats`
+    instances (device formats pull their index arrays back to host ONCE
+    for the symbolic phase — prefer passing the scipy originals in cold
+    paths).  Returns a device :class:`CSR`.
+
+    ``max_pairs`` bounds the Gustavson expansion (= multiply FLOPs and
+    the device scratch): dense-ish products are refused rather than
+    OOMed, the same guard policy as the CLI's dense-expansion cap.
+    """
+    import scipy.sparse as sp
+
+    def to_scipy(M):
+        if sp.issparse(M):
+            return M.tocsr()
+        if hasattr(M, "to_scipy"):
+            return M.to_scipy().tocsr()
+        from ..formats import to_coo
+
+        return to_coo(M).to_scipy().tocsr()
+
+    As, Bs = to_scipy(A), to_scipy(B)
+    if As.shape[1] != Bs.shape[0]:
+        raise ValueError(f"inner dimensions differ: {As.shape} @ {Bs.shape}")
+    As.sort_indices()
+    Bs.sort_indices()
+    if dtype is None:
+        dtype = np.result_type(As.data.dtype, Bs.data.dtype)
+    nrow, ncol = As.shape[0], Bs.shape[1]
+    a_ind = np.asarray(As.indices, np.int64)
+    b_ptr = np.asarray(Bs.indptr, np.int64)
+
+    # ---- host symbolic: Gustavson pair expansion -------------------------
+    counts = b_ptr[a_ind + 1] - b_ptr[a_ind]      # B-row length per A-nnz
+    total = int(counts.sum())
+    if total == 0:
+        z = jnp.zeros(0, dtype)
+        zi = jnp.zeros(0, jnp.int32)
+        return CSR(data=z, indices=zi,
+                   indptr=jnp.zeros(nrow + 1, jnp.int32),
+                   row_ids=zi, shape=(nrow, ncol))
+    if total > max_pairs:
+        raise ValueError(
+            f"spgemm_csr expansion needs {total} multiply pairs "
+            f"(> max_pairs={max_pairs}); the product is too dense for "
+            f"the expanded formulation — compute in scipy instead")
+    arow = np.repeat(np.arange(nrow, dtype=np.int64),
+                     np.diff(np.asarray(As.indptr, np.int64)))
+    pa = np.repeat(np.arange(As.nnz, dtype=np.int64), counts)
+    cum = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    pb = np.repeat(b_ptr[a_ind], counts) + offs
+    ci = np.repeat(arow, counts)                  # output row per pair
+    ck = np.asarray(Bs.indices, np.int64)[pb]     # output col per pair
+    o = np.lexsort((ck, ci))
+    ci, ck, pa, pb = ci[o], ck[o], pa[o], pb[o]
+    newseg = np.ones(total, bool)
+    newseg[1:] = (ci[1:] != ci[:-1]) | (ck[1:] != ck[:-1])
+    seg = np.cumsum(newseg) - 1
+    nnz_c = int(seg[-1]) + 1
+    out_rows = ci[newseg]
+    out_cols = ck[newseg].astype(np.int32)
+    indptr = np.zeros(nrow + 1, np.int64)
+    np.cumsum(np.bincount(out_rows, minlength=nrow), out=indptr[1:])
+
+    # ---- device numeric --------------------------------------------------
+    data = _csr_numeric(
+        jnp.asarray(As.data, dtype), jnp.asarray(Bs.data, dtype),
+        jnp.asarray(pa, jnp.int32) if As.nnz < 2**31 else jnp.asarray(pa),
+        jnp.asarray(pb, jnp.int32) if Bs.nnz < 2**31 else jnp.asarray(pb),
+        jnp.asarray(seg, jnp.int32), nnz_c)
+    return CSR(data=data, indices=jnp.asarray(out_cols),
+               indptr=jnp.asarray(indptr, jnp.int32),
+               row_ids=jnp.asarray(out_rows, jnp.int32),
+               shape=(int(nrow), int(ncol)))
+
+
+def spgemm(A, B):
+    """``C = A @ B`` — DIA×DIA via the structured diagonal assembly
+    below; any other sparse pair routes to :func:`spgemm_csr` (host
+    symbolic + device numeric)."""
     if not (isinstance(A, DIA) and isinstance(B, DIA)):
-        raise TypeError(
-            f"spgemm is implemented for DIA x DIA (static diagonal "
-            f"structure); got {type(A).__name__} x {type(B).__name__} — "
-            f"for unstructured patterns compute in scipy and convert")
+        return spgemm_csr(A, B)
     if A.shape[1] != B.shape[0]:
         raise ValueError(f"inner dimensions differ: {A.shape} @ {B.shape}")
     if A.shape[0] != A.shape[1] or B.shape[0] != B.shape[1]:

@@ -10,6 +10,7 @@ from .ir import IRResult, ir_runner, ir_solve
 from .krylov import KrylovResult, bicgstab, gmres
 from .lanczos import LanczosResult, eigsh_lanczos, lanczos
 from .lsqr import LSQRResult, lsqr
+from .multigrid import mg_preconditioner, poisson_stencil_apply
 from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
                          symgs_preconditioner)
@@ -23,6 +24,7 @@ __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "KrylovResult", "bicgstab", "gmres",
            "LanczosResult", "lanczos", "eigsh_lanczos",
            "LSQRResult", "lsqr",
+           "mg_preconditioner", "poisson_stencil_apply",
            "DistBiCGSTABResult", "dist_bicgstab",
            "SORResult", "multicolor", "gauss_seidel_sweep", "sor",
            "symgs_preconditioner"]

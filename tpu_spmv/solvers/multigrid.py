@@ -1,0 +1,208 @@
+"""Geometric multigrid preconditioner for grid Poisson operators.
+
+The reference's solver story stops at BLAS-1 "support" (`/root/reference/
+src/vec_vec.cpp`) and an unused SymGS diagonal (`/root/reference/include/
+matrix.h:36`).  For the grid operators its benchmarks actually run
+(5-point/7-point Poisson — the matrices of `utils.laplacian_2d/_3d` and
+BASELINE configs 1-2), the right solver is not a better smoother but a
+**multigrid preconditioner**: plain CG needs O(g) iterations on a g×g
+Poisson grid (kappa ~ g²; measured 1664 iterations to 1e-4 at 1024²),
+while MG-PCG converges in O(1) iterations at ~10 stencil passes per
+cycle.
+
+TPU-native design — everything below is static-shape jnp on [g, g(, g)]
+arrays inside ONE jit region:
+
+- **Level operators**: the unscaled (2d+1)-point stencil ``(2d + c)u -
+  Σ neighbors`` with zero (eliminated-Dirichlet) boundaries, applied via
+  shifted-slice adds — XLA fuses each apply into one fused pass (no
+  matrices, no gathers).  The shift ``c`` rediscretizes as ``4c`` per
+  level (a mass term grows ×4 relative to the h²-scaled Laplacian).
+- **Transfers**: cell-centered d-linear prolongation built from a 1-D
+  clamped stencil ``fine(2i) = (3u_i + u_{i-1})/4`` applied per axis
+  (its 2-D tensor square is the classic 9/16-3/16-3/16-1/16 bilinear);
+  restriction is the EXACT adjoint via ``jax.vjp`` scaled by ``2^-d`` —
+  exact adjointness is what keeps the V-cycle symmetric, hence a valid
+  PCG preconditioner.
+- **Correction scale 4**: with row-sum-1 restriction, the Galerkin
+  operator ``R A_l P`` equals ``A_{l+1}/4`` on smooth modes (h² scaling
+  of the unscaled stencil), so the coarse correction interpolates back
+  ×4.  Verified numerically in tests against dense Galerkin products.
+- **Smoother**: weighted Jacobi (``omega/(2d + c)`` — a diagonal scale,
+  perfectly symmetric and reduction-free).  Red-black GS smooths better
+  per sweep but needs masked half-updates; Jacobi keeps the whole cycle
+  free of lane masks AND of dot products — an entire V-cycle compiles to
+  straight-line stencil arithmetic with zero reductions.
+- **Coarsest solve**: fixed-degree Chebyshev on the coarsest stencil
+  (same recurrence as :mod:`.cheby`) with analytic spectrum bounds —
+  linear and symmetric, unlike an inner CG, so outer PCG stays valid.
+
+Scope: constant-coefficient Poisson(+shift) on rectangular grids, the
+operators this framework's own benchmarks and the reference's use.  For
+general matrices use :func:`~tpu_spmv.solvers.symgs_preconditioner` /
+:func:`~tpu_spmv.solvers.chebyshev_preconditioner`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mg_preconditioner", "poisson_stencil_apply"]
+
+
+def poisson_stencil_apply(u: jax.Array, shift: float = 0.0) -> jax.Array:
+    """Unscaled (2d+1)-point Laplacian + shift on a [g1, ..., gd] grid:
+    ``(2d + shift) u - Σ_axis (u shifted ±1)`` with zero Dirichlet
+    (eliminated-boundary) closure — exactly the matrix of
+    ``utils.laplacian_2d/_3d`` (+ ``shift`` · I) reshaped to the grid."""
+    d = u.ndim
+    y = (2 * d + shift) * u
+    for ax in range(d):
+        lo = [slice(None)] * d
+        hi = [slice(None)] * d
+        lo[ax] = slice(1, None)       # u[i+1] contribution to y[i]
+        hi[ax] = slice(None, -1)
+        pad_lo = [(0, 0)] * d
+        pad_hi = [(0, 0)] * d
+        pad_lo[ax] = (0, 1)
+        pad_hi[ax] = (1, 0)
+        y = y - jnp.pad(u[tuple(lo)], pad_lo) \
+              - jnp.pad(u[tuple(hi)], pad_hi)
+    return y
+
+
+def _interp1d(u: jax.Array, ax: int) -> jax.Array:
+    """Cell-centered linear interpolation along one axis (clamped ends):
+    ``fine[2i] = (3 u[i] + u[i-1]) / 4``, ``fine[2i+1] = (3 u[i] +
+    u[i+1]) / 4``.  Output doubles the axis length."""
+    d = u.ndim
+    sl = lambda s: tuple(s if a == ax else slice(None) for a in range(d))
+    first = u[sl(slice(None, 1))]
+    last = u[sl(slice(-1, None))]
+    um = jnp.concatenate([first, u[sl(slice(None, -1))]], axis=ax)   # u[i-1]
+    up = jnp.concatenate([u[sl(slice(1, None))], last], axis=ax)     # u[i+1]
+    even = (3.0 * u + um) * 0.25
+    odd = (3.0 * u + up) * 0.25
+    # interleave along ax: stack on a new trailing axis then reshape
+    stacked = jnp.stack([even, odd], axis=ax + 1)
+    shape = list(u.shape)
+    shape[ax] *= 2
+    return stacked.reshape(shape)
+
+
+def _prolong(uc: jax.Array) -> jax.Array:
+    """d-linear prolongation: 1-D interpolation per axis (tensor
+    product).  2-D weights are the classic 9/16-3/16-3/16-1/16."""
+    f = uc
+    for ax in range(uc.ndim):
+        f = _interp1d(f, ax)
+    return f
+
+
+def _cheby_solve(b: jax.Array, matvec: Callable, lmin: float, lmax: float,
+                 degree: int) -> jax.Array:
+    """Fixed-degree Chebyshev approximation to ``A⁻¹ b`` on spectrum
+    ``[lmin, lmax]`` (the :mod:`.cheby` recurrence, unrolled — linear
+    and symmetric in ``b``, so the enclosing V-cycle stays a valid PCG
+    preconditioner; an inner CG here would not be)."""
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    r = b
+    p = r / theta
+    x = p
+    rho = 1.0 / sigma
+    for _ in range(degree):
+        r = r - matvec(p)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        p = rho_new * (2.0 * r / delta + rho * p)
+        x = x + p
+        rho = rho_new
+    return x
+
+
+def mg_preconditioner(grid_shape: Sequence[int], *, shift: float = 0.0,
+                      nu1: int = 2, nu2: int = 2, omega: float = 0.8,
+                      coarsest: int = 8, coarse_degree: int = 16,
+                      cycles: int = 1) -> Callable:
+    """V-cycle geometric-multigrid preconditioner for the grid Poisson
+    operator ``laplacian_2d/_3d(g) + shift·I``.
+
+    Returns ``apply(r_flat) -> z_flat`` (``z ≈ A⁻¹ r``), a symmetric
+    positive-definite linear map valid as ``precond=`` for
+    :func:`~tpu_spmv.solvers.cg`.  The whole cycle is straight-line
+    stencil arithmetic: NO reductions, NO gathers — it inlines into
+    CG's ``while_loop`` body as one fused XLA region.
+
+    ``grid_shape``: the grid, e.g. ``(1024, 1024)`` (all axes coarsen
+    by 2 while even and > ``coarsest``).  ``shift``: the +c·I of a
+    screened operator.  ``cycles``: V-cycles per application (1 is
+    right for PCG).
+
+    Measured (bench.py ``cg.mgpcg``): 1024² Poisson to 1e-4 in ~16
+    PCG iterations vs 1664 plain — ~25x wall-clock.
+    """
+    grid_shape = tuple(int(g) for g in grid_shape)
+    d = len(grid_shape)
+    if d not in (2, 3):
+        raise ValueError(f"mg_preconditioner supports 2-D/3-D grids, "
+                         f"got {grid_shape}")
+    if any(g < 2 for g in grid_shape):
+        raise ValueError(f"grid too small: {grid_shape}")
+    if nu1 < 0 or nu2 < 0 or nu1 + nu2 == 0:
+        raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
+    # level geometry: halve while all axes even and above `coarsest`
+    shapes = [grid_shape]
+    shifts = [float(shift)]
+    while (all(g % 2 == 0 for g in shapes[-1])
+           and min(shapes[-1]) > coarsest):
+        shapes.append(tuple(g // 2 for g in shapes[-1]))
+        shifts.append(shifts[-1] * 4.0)   # mass term grows x4 per level
+    nlev = len(shapes)
+    n = math.prod(grid_shape)
+
+    def smooth(u, b, lvl, sweeps):
+        dinv = omega / (2 * d + shifts[lvl])
+        for _ in range(sweeps):
+            u = u + dinv * (b - poisson_stencil_apply(u, shifts[lvl]))
+        return u
+
+    def restrict(r, lvl):
+        # exact adjoint of _prolong via vjp, scaled 2^-d (row sums 1)
+        zc = jnp.zeros(shapes[lvl + 1], r.dtype)
+        _, vjp = jax.vjp(_prolong, zc)
+        return vjp(r)[0] * (0.5 ** d)
+
+    def vcycle(lvl, b):
+        if lvl == nlev - 1:
+            g = max(shapes[lvl])
+            c = shifts[lvl]
+            lmin = c + 4.0 * d * math.sin(math.pi / (4.0 * g)) ** 2
+            lmax = c + 4.0 * d
+            return _cheby_solve(
+                b, lambda v: poisson_stencil_apply(v, c),
+                lmin, lmax, coarse_degree)
+        u = smooth(jnp.zeros_like(b), b, lvl, nu1)
+        r = b - poisson_stencil_apply(u, shifts[lvl])
+        e = vcycle(lvl + 1, restrict(r, lvl))
+        # Galerkin R A P = A_coarse/4 on smooth modes -> correction x4
+        u = u + 4.0 * _prolong(e)
+        return smooth(u, b, lvl, nu2)
+
+    def apply(r):
+        r = jnp.asarray(r)
+        if r.shape != (n,):
+            raise ValueError(
+                f"mg_preconditioner built for flat [{n}] vectors of the "
+                f"{grid_shape} grid, got shape {r.shape}")
+        b = r.reshape(grid_shape)
+        z = vcycle(0, b)
+        for _ in range(cycles - 1):
+            z = z + vcycle(0, b - poisson_stencil_apply(z, shifts[0]))
+        return z.reshape(-1)
+
+    return apply
