@@ -125,10 +125,19 @@ def main(argv=None) -> int:
             grid_d = int(round(args.grid * d ** 0.5))
             for line in bench_point(grid_d, d, strategies):
                 sweep[line["strategy"]].append(line)
+        virtual = jax.devices()[0].platform == "cpu"
         report = {"mode": "weak_scaling", "base_grid": args.grid,
                   "device_kind": jax.devices()[0].device_kind,
-                  "virtual_mesh": jax.devices()[0].platform == "cpu",
+                  "virtual_mesh": virtual,
                   "points": []}
+        if virtual:
+            report["note"] = (
+                "virtual mesh: N 'devices' time-share one host CPU, so "
+                "per-device throughput CANNOT scale — efficiency_pct "
+                "here validates the sweep machinery and bounds the "
+                "collective overhead only; the BASELINE >=80% gate "
+                "applies to this same command on real multi-chip "
+                "hardware (each point then runs on its own chip)")
         for s in strategies:
             base = sweep[s][0]
             base_per_dev = base["gnnz_per_s"] / base["ndev"]
