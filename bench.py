@@ -225,21 +225,26 @@ def bench_gpr() -> dict:
     n = 100_000
     sp_mat = random_sparse(n, n, 7e-5, seed=2, dtype=np.float32)
     t0 = time.time()
-    gp = gpr.pack_gpr(sp_mat, dtype=np.float32)
+    # the planner's default pack: CHUNK_NNZ row chunks (smaller chunks
+    # land FULLER exchange tiles — see gpr.CHUNK_NNZ; 700k as ONE plan
+    # measured 124 us / T=100 tiles vs 105 us / T=79 chunked)
+    gp = gpr.pack_gpr_chunked(sp_mat.tocsr(), dtype=np.float32)
     pack_s = time.time() - t0
-    log(f"bench: gpr pack {sp_mat.nnz} nnz in {pack_s:.1f}s")
+    log(f"bench: gpr pack {sp_mat.nnz} nnz in {pack_s:.1f}s "
+        f"({len(gp.chunks)} chunks, v3 {sum(c.fused_v3 for c in gp.chunks)}"
+        f"/{len(gp.chunks)})")
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.random(n), jnp.float32)
-    y = np.asarray(gpr.spmv_gpr(gp, x))
+    y = np.asarray(gpr.spmv_gpr_chunked(gp, x))
     y_ref = sp_mat.astype(np.float64) @ np.asarray(x, np.float64)
     rel = float(np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)))
     assert rel < 2e-5, f"GPR verification failed: {rel:.3e}"
     log(f"bench: gpr rel_err={rel:.2e}")
 
     scale = np.float32(1.0 / abs(sp_mat).sum(axis=1).max())
-    gpr_dt = time_chained(lambda c, A: gpr.spmv_gpr(A, c) * scale, x,
-                          iters=100, warm=10, operands=(gp,))
+    gpr_dt = time_chained(lambda c, A: gpr.spmv_gpr_chunked(A, c) * scale,
+                          x, iters=100, warm=10, operands=(gp,))
 
     csr = ts.convert(ts.COO.from_scipy(sp_mat.tocoo(), dtype=jnp.float32),
                      "csr")
@@ -257,8 +262,8 @@ def bench_gpr() -> dict:
     # the default run to keep wall time down)
     NRHS = 32
     Xb = jnp.asarray(rng.random((n, NRHS)), jnp.float32)
-    spmm_dt = time_chained(lambda C, A: gpr.spmm_gpr(A, C) * scale, Xb,
-                           iters=10, warm=2, operands=(gp,))
+    spmm_dt = time_chained(lambda C, A: gpr.spmm_gpr_chunked(A, C) * scale,
+                           Xb, iters=10, warm=2, operands=(gp,))
     log(f"bench: gpr spmm{NRHS} {spmm_dt * 1e3:.2f} ms/iter")
 
     return {

@@ -59,10 +59,18 @@ CLASS_W = (8, 16, 32, 64, 128)
 MAX_NNZ = 2_400_000
 #: tiles per grid step — 4KB per-tile blocks are DMA-overhead-bound
 TPS = 16
-#: default row-chunk size for pack_gpr_chunked / the planner: below the
-#: ~900k single-level routing cap, so every chunk gets the fused
-#: two-launch pipeline (two-level plans cannot fuse)
-CHUNK_NNZ = 700_000
+#: default row-chunk size for pack_gpr_chunked / the planner.  Well below
+#: the ~900k single-level routing cap — but the operative bound is TILE
+#: FILL, not routability: the exchange-stage row budget eases roughly
+#: quadratically as chunks shrink (rows/tile ~ nnz/(T*qcap) for T tiles),
+#: so smaller chunks land FULLER tiles and every per-tile stage cost
+#: (T-G-T-G shuffles, exchange reads, mask-dots) drops with the tile
+#: count.  Measured on chip (round 4): 700k-nnz uniform packs at
+#: rp128=80/T=100 as ONE plan vs rp128=104/T=79 as two 350k chunks
+#: (SpMV 124 -> 105 us, SpMM32 3.65 -> 2.86 ms); 5M-nnz power-law
+#: 1154 us at 700k chunks -> 827 us at 350k (rp128 64 -> 96).  Below
+#: ~250k the per-chunk fixed costs win (125k chunks: 124 us).
+CHUNK_NNZ = 350_000
 #: attempt engine-v3 (color-as-final-lane) routing on default packs —
 #: drops stage-3's final transpose + b3 gather; transparently falls back
 #: to the v2 planes when the router finds no feasible coloring
@@ -917,7 +925,16 @@ def _fused_gather_s1_rhs_kernel(gseg_ref, glidx_ref, x3_ref,
     planes' segment rows together, and one lane-gather (same index row
     broadcast over the qb sublanes) extracts all qb rhs's slot values —
     qb-fold fewer dynamic slices than the per-rhs loop (which measured
-    8.2 ms at nrhs=32: ~260k single-sublane dynamic reads dominated)."""
+    8.2 ms at nrhs=32: ~260k single-sublane dynamic reads dominated).
+
+    The per-rhs T-G-T-G is the stage's real cost (~2/3 of batched SpMM
+    wall time, VPU-shuffle-byte-bound — tile COUNT is the only lever,
+    which is why SpMM benefits most from the small-chunk fuller-tile
+    packing; see CHUNK_NNZ).  Offloading alternate rhs's first transpose
+    to the MXU (exact one-hot ``dot_general``) measured 378 -> 333
+    ns/TGTG in an isolated kernel but was run-noise-neutral here (the
+    gather/slice VPU work already overlaps) — probed and rejected,
+    round 4."""
     t = pl.program_id(1)
     qb = x3_ref.shape[0]
     rows = []
@@ -1359,8 +1376,19 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
     blocks = []
     lo = 0
     rp_hint = None
+    # balanced targets: ceil(nnz/chunk_nnz) blocks of ~equal nnz, the
+    # target recomputed from the REMAINING nnz each cut (cut() rounds
+    # down to a row boundary, so a fixed target accumulates undershoot
+    # into a sliver block — [39, 39, 1]-tile packs observed at 700k nnz /
+    # 350k chunks, a full launch set for 1 tile of work; the last block
+    # swallows the tail instead)
+    nblocks = max(1, -(-nnz // max(chunk_nnz, 1)))
+    i = 0
     while lo < nrow:
-        hi = cut(lo, chunk_nnz)
+        remaining = nnz - int(indptr[lo])
+        target = -(-remaining // max(nblocks - i, 1))
+        hi = cut(lo, target)
+        i += 1
         new = pack_block(lo, hi, rp_hint=rp_hint)
         blocks.extend(new)
         if rp_hint is None:
