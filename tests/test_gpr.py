@@ -124,6 +124,23 @@ def test_gpr_supports():
     assert not gpr.supports((1000, 1000), 10**7, chunked=False)
 
 
+def test_gpr_chunked_balanced_cuts():
+    """Chunk cuts recompute the target from REMAINING nnz: ceil(nnz/
+    chunk_nnz) blocks of ~equal size, no trailing sliver (a fixed
+    per-cut target used to leave a [big, big, 1-tile] tail pack)."""
+    mat = utils.random_sparse(1250, 1000, 0.032, seed=101).astype(np.float32)
+    nnz = mat.nnz
+    A = gpr.pack_gpr_chunked(mat, chunk_nnz=(nnz + 1) // 2)
+    assert len(A.chunks) == 2
+    sizes = [A.chunks[i].nnz for i in range(len(A.chunks))]
+    assert min(sizes) > 0.3 * max(sizes), sizes
+    x = jnp.asarray(np.random.default_rng(2).random(1000), jnp.float32)
+    y = gpr.spmv_gpr_chunked(A, x, interpret=True)
+    ref = mat @ np.asarray(x, np.float64)
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-5
+
+
 def test_gpr_chunked():
     # small on purpose: interpret-mode pallas is Python-per-element and
     # this test runs the pipeline three ways (folded, stub-guard,

@@ -212,13 +212,16 @@ def symgs_preconditioner(A, host_mat, *, sweeps: int = 1,
     color = multicolor(host_mat)
     ncolors = int(color.max()) + 1 if len(color) else 1
     color_dev = jnp.asarray(color, jnp.int32)
+    # safe inverse computed on HOST numpy: caching a safe_dinv() result
+    # built inside a traced apply() would capture a tracer, and reusing
+    # ONE preconditioner closure across several jitted solvers (e.g. the
+    # bench's while-mode + two fixed-k runners) then leaks it
+    # (UnexpectedTracerError — hit in round 4)
     d = np.asarray(host_mat.diagonal(), dtype=np.float64)
-    cache = {}
+    dinv_host = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
 
     def apply(r):
-        if r.dtype not in cache:
-            cache[r.dtype] = safe_dinv(d, r.dtype)
-        dinv = cache[r.dtype]
+        dinv = jnp.asarray(dinv_host, r.dtype)
         z = jnp.zeros_like(r)
         for _ in range(sweeps):
             z = gauss_seidel_sweep(A, r, z, color=color_dev,
