@@ -397,7 +397,11 @@ def bench_cg() -> dict:
             hi = cg_runner(Aop, iters=k1, tol=None, precond=precond)
             t_hi = _best_call(lambda: _fence(hi(bv)))
             signal = t_hi - t_lo
-            if signal > max(0.25 * t_lo, 2e-3) or k1 >= 512 * it:
+            # the signal must also clear the measured call floor — at
+            # the blanket edge (t_hi barely past the latency) per-iter
+            # estimates scatter 2x run-to-run
+            if (signal > max(0.25 * t_lo, 0.5 * floor_ms * 1e-3)
+                    or k1 >= 512 * it):
                 break
             k1 *= 4
         per_iter = max(signal / (k1 - k0), 1e-9)
@@ -421,7 +425,12 @@ def bench_cg() -> dict:
 
         sp_host = laplacian_2d(g)
         symgs = symgs_preconditioner(A, sp_host)
-        symgs_t = time_solve(symgs, b)
+        try:
+            symgs_t = time_solve(symgs, b)
+        except Exception:
+            # one retry: the tunnel's remote_compile occasionally drops
+            # a response mid-read (transient infra, seen round 4)
+            symgs_t = time_solve(symgs, b)
     except Exception as e:  # pragma: no cover - keep the bench running
         symgs_t = {"error": f"{type(e).__name__}: {e}"}
     speedup = (plain_t["wall_ms"] / mg_t["wall_ms"]

@@ -52,11 +52,12 @@ def pallas_ell_cost_s(ntiles: int, rounds: int) -> float:
 
 
 def gpr_cost_s(nnz: int) -> float:
-    """Measured per-SpMV cost model of the GPR pipeline: ~0.155ns per
-    entry (fused gather+stage1, fused stage23+mask-dot reduce) plus a
-    ~35us fixed cost (launches + class combine + y reorder; on-chip
-    round-2 engine: 143us total at 700k nnz, docs/DESIGN.md)."""
-    return nnz * 0.155e-9 + 35e-6
+    """Measured per-SpMV cost model of the GPR pipeline: ~0.13ns per
+    entry (fused gather+stage1, fused stage23+mask-dot reduce, engine v3
+    on small-chunk fuller-tile packs — round 4: ~99us at 700k uniform,
+    ~840us at 5M power-law) plus a ~30us fixed cost (launches + class
+    combine + y reorder)."""
+    return nnz * 0.13e-9 + 30e-6
 
 
 @dataclasses.dataclass(frozen=True)

@@ -143,8 +143,11 @@ def mg_preconditioner(grid_shape: Sequence[int], *, shift: float = 0.0,
     screened operator.  ``cycles``: V-cycles per application (1 is
     right for PCG).
 
-    Measured (bench.py ``cg.mgpcg``): 1024² Poisson to 1e-4 in ~16
-    PCG iterations vs 1664 plain — ~25x wall-clock.
+    Measured (bench.py ``cg.to_tol``, honest k-differenced protocol):
+    1024² Poisson to 1e-4 in 15 PCG iterations vs 1664 plain — ~9x
+    wall-clock (plain CG's whole state is VMEM-resident at that size
+    and runs ~13 us/iter); 2048² (state HBM-bound, the asymptotic
+    regime) 17 vs ~3400 iterations — ~11x and growing with n.
     """
     grid_shape = tuple(int(g) for g in grid_shape)
     d = len(grid_shape)
