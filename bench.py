@@ -324,8 +324,10 @@ def bench_bsr() -> dict:
 def bench_cg() -> dict:
     """Solver throughput the reference's 'solver support' never delivered:
     CG on a 1024-grid Poisson (1M rows), whole solve as ONE compiled
-    while_loop.  Per-iteration time via maxiter differencing (the
-    chained protocol's analog for solver loops)."""
+    loop, plus wall-clock-to-tolerance for the preconditioned variants
+    (MG-PCG headline) at 1024^2 and 2048^2.  All timings use escalated
+    k-differencing around the ~25 ms tunnel call floor (see
+    time_solve)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
