@@ -712,6 +712,30 @@ def bench_f64() -> dict:
         log(f"bench: f64 dia(laplacian {g}) {dt * 1e6:.0f} us/iter "
             f"rel={rel:.1e} (f32 same op: {dt32 * 1e6:.0f} us -> "
             f"emulation cost {dt / dt32:.1f}x)")
+
+        # BASELINE config 1 in its most literal available form: a real
+        # MatrixMarket bus-network file (no network egress, so the
+        # frozen fixture stands in for 1138_bus.mtx) through the full
+        # L1->L3 path — mmio read -> CSR -> f64 SpMV on chip -> 1e-10
+        # gate vs the f64 host oracle.  Timing at 420 rows is below the
+        # chained protocol's resolution; the correctness gate is the
+        # config's point.
+        import os
+
+        from tpu_spmv.io.mmio import read_matrix
+
+        bus_path = os.path.join(os.path.dirname(__file__),
+                                "tests", "fixtures", "bus420.mtx")
+        bus = read_matrix(bus_path, dtype=jnp.float64)
+        Ab = ts.convert(bus, "csr")
+        host_b = bus.to_scipy().tocsr().astype(np.float64)
+        xb = jnp.asarray(rng.random(Ab.shape[1]), jnp.float64)
+        yb = np.asarray(spmv(Ab, xb))
+        relb = float(np.max(np.abs(yb - host_b @ np.asarray(xb)))
+                     / np.max(np.abs(host_b @ np.asarray(xb))))
+        assert relb < 1e-10, f"f64 bus fixture gate failed: {relb:.3e}"
+        log(f"bench: f64 csr(bus420.mtx) on chip rel={relb:.1e} "
+            f"(config-1 gate 1e-10)")
         return {
             "operator": f"laplacian_2d({g})",
             "nrow": n,
@@ -719,6 +743,7 @@ def bench_f64() -> dict:
             "rel_err_vs_f64_oracle": rel,
             "f32_us_per_spmv": round(dt32 * 1e6, 1),
             "emulation_cost_x": round(dt / dt32, 2),
+            "bus420_csr_f64_rel_err": relb,
         }
     except Exception as e:  # pragma: no cover - chip capability probe
         log(f"bench: f64 on-chip probe failed: {type(e).__name__}: {e}")
