@@ -628,9 +628,16 @@ def _verify_periodic(data, pat, offsets, nrow):
     return jnp.all(jnp.where(valid, data == full, True))
 
 
-#: VMEM budget for the resident [ndiags, rb] pattern block (single copy —
-#: constant index map, not double-buffered like SDIA's streamed data)
-_PATTERN_BUDGET = 8 << 20
+def _pattern_budget(nd: int) -> int:
+    """VMEM budget for the resident [ndiags, rb] pattern block (single
+    copy — constant index map, not double-buffered like SDIA's streamed
+    data).  Measured on chip (round-4 rb sweeps): the 5-diagonal 2-D
+    Poisson wants the fattest tile (rb 65536/102400/131072 -> 0.226/
+    0.199/0.197 ms at 4096^2), but the 7-diagonal 3-D Poisson is 14%
+    FASTER at rb=65536 than at 131072 (25.3 vs 29.4 us at 128^3 — the
+    fatter pattern crowds the pipelined x/halo blocks), so wider
+    stencils get a tighter budget."""
+    return (8 << 20) if nd <= 5 else (2 << 20)
 
 
 def pack_psdia(dia: DIA, period: int | None = None, *, rb: int | None = None,
@@ -648,7 +655,14 @@ def pack_psdia(dia: DIA, period: int | None = None, *, rb: int | None = None,
     if period is None:
         period = detect_period(dia)
         if period is None:
-            raise ValueError("no periodic diagonal structure detected")
+            on_device = (isinstance(dia.data, jax.Array)
+                         and next(iter(dia.data.devices())).platform
+                         != "cpu")
+            raise ValueError(
+                "no periodic diagonal structure detected"
+                + (" (device-resident diagonals are not scanned — pass "
+                   "period= explicitly; it is verified on device)"
+                   if on_device else ""))
     P = int(period)
     nd = dia.ndiags
     offsets = tuple(int(o) for o in dia.offsets)
@@ -664,7 +678,7 @@ def pack_psdia(dia: DIA, period: int | None = None, *, rb: int | None = None,
         if unit > RB_MAX:
             raise ValueError("period too large for any feasible row tile")
         isz = int(np.dtype(dia.data.dtype).itemsize)
-        cap = min(RB_MAX, max(_PATTERN_BUDGET // (isz * nd), 1))
+        cap = min(RB_MAX, max(_pattern_budget(nd) // (isz * nd), 1))
         if nrhs > 1:
             # X/Y panels are in the (4-byte) x dtype, not the pattern's
             cap = min(cap, max((8 << 20) // (4 * nrhs), 1))
