@@ -11,6 +11,7 @@ from .krylov import KrylovResult, bicgstab, gmres
 from .lanczos import LanczosResult, eigsh_lanczos, lanczos
 from .lsqr import LSQRResult, lsqr
 from .multigrid import mg_preconditioner, poisson_stencil_apply
+from .dist_multigrid import dist_mg_preconditioner
 from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
                          symgs_preconditioner)
@@ -25,6 +26,7 @@ __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "LanczosResult", "lanczos", "eigsh_lanczos",
            "LSQRResult", "lsqr",
            "mg_preconditioner", "poisson_stencil_apply",
+           "dist_mg_preconditioner",
            "DistBiCGSTABResult", "dist_bicgstab",
            "SORResult", "multicolor", "gauss_seidel_sweep", "sor",
            "symgs_preconditioner"]

@@ -36,8 +36,14 @@ class DistCGResult(NamedTuple):
 
 
 def dist_cg(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
-            maxiter: int = 500, axis: str = "x") -> DistCGResult:
-    """CG with a mesh-sharded matrix; ``A`` is ShardedCSR or HaloCSR."""
+            maxiter: int = 500, axis: str = "x",
+            precond=None) -> DistCGResult:
+    """CG with a mesh-sharded matrix; ``A`` is ShardedCSR or HaloCSR.
+
+    ``precond``: optional SPD ``M(r: ShardedVector) -> ShardedVector``
+    (e.g. :func:`~tpu_spmv.solvers.dist_mg_preconditioner`) applied
+    inside the jitted SPMD loop — the preconditioned residual dots
+    reduce across shards exactly like the plain ones."""
     if A.shape[0] != A.shape[1]:
         raise ValueError("dist_cg requires a square matrix")
     if A.row_starts != b.starts:
@@ -57,30 +63,40 @@ def dist_cg(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
     else:
         raise TypeError(f"unsupported sharded matrix {type(A).__name__}")
 
+    M = precond if precond is not None else (lambda r: r)
+
     @jax.jit
     def run(b):
         x0 = ShardedVector(chunks=jnp.zeros_like(b.chunks), starts=b.starts,
                            length=b.length)
         r0 = blas.axpby(1.0, b, -1.0, matvec(x0))
+        z0 = M(r0)
+        rz0 = blas.dot(r0, z0)
         rr0 = blas.dot(r0, r0)
         bnorm = jnp.sqrt(blas.dot(b, b))
         limit = tol * jnp.maximum(bnorm, 1e-300)
 
         def cond(state):
-            x, r, p, rr, it = state
+            x, r, p, rz, rr, it = state
             return (jnp.sqrt(rr) > limit) & (it < maxiter)
 
         def body(state):
-            x, r, p, rr, it = state
+            x, r, p, rz, rr, it = state
             Ap = matvec(p)
-            alpha = rr / blas.dot(p, Ap)
+            pAp = blas.dot(p, Ap)
+            alpha = rz / jnp.where(pAp == 0, jnp.ones_like(pAp), pAp)
             x = blas.axpy(alpha, p, x)
             r = blas.axpy(-alpha, Ap, r)
+            z = M(r)
+            rz_new = blas.dot(r, z)
             rr_new = blas.dot(r, r)
-            p = blas.axpby(1.0, r, rr_new / rr, p)
-            return (x, r, p, rr_new, it + 1)
+            p = blas.axpby(1.0, z,
+                           rz_new / jnp.where(rz == 0,
+                                              jnp.ones_like(rz), rz), p)
+            return (x, r, p, rz_new, rr_new, it + 1)
 
-        x, r, p, rr, it = lax.while_loop(cond, body, (x0, r0, r0, rr0, 0))
+        x, r, p, rz, rr, it = lax.while_loop(
+            cond, body, (x0, r0, z0, rz0, rr0, 0))
         rnorm = jnp.sqrt(rr)
         return x, it, rnorm, rnorm <= limit
 
