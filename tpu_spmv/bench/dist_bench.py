@@ -149,6 +149,42 @@ def main(argv=None) -> int:
                 print(f"    {s} ndev={line['ndev']} grid={line['grid']}: "
                       f"{line['gnnz_per_s']} Gnnz/s, "
                       f"{line['efficiency_pct']}% weak-scaling eff")
+        # solver leg: distributed MG-PCG at each ndev (rows/device ~held)
+        # — the mesh-scaling evidence for the SOLVER stack: iteration
+        # count must stay O(1) as the mesh grows (multigrid's whole
+        # point), and the V-cycle's only collectives are 1-row ppermute
+        # halos + one small all_gather
+        from ..solvers import dist_cg, dist_mg_preconditioner
+
+        report["solver_points"] = []
+        for d in ndevs:
+            gmg = int(round(args.grid * d ** 0.5))
+            gmg -= gmg % (16 * d)          # row-divisible, MG-coarsenable
+            mesh = dist.make_mesh(d)
+            sp = laplacian_2d(gmg).astype(np.float32).tocsr()
+            A = dist.place(dist.HaloCSR.build(sp, d, balance="rows",
+                                              square=True), mesh)
+            bh = np.random.default_rng(5).standard_normal(
+                gmg * gmg).astype(np.float32)
+            bs = dist.place(
+                dist.ShardedVector.from_global(bh, A.row_plan), mesh)
+            M = dist_mg_preconditioner(mesh, (gmg, gmg))
+            res = dist_cg(mesh, A, bs, tol=1e-5, maxiter=100, precond=M)
+            t0 = time.time()
+            res = dist_cg(mesh, A, bs, tol=1e-5, maxiter=100, precond=M)
+            wall = time.time() - t0
+            x = res.x.to_global()
+            rtrue = float(np.linalg.norm(bh - sp @ x)
+                          / np.linalg.norm(bh))
+            pt = {"solver": "dist_mgpcg", "ndev": d, "grid": gmg,
+                  "n": gmg * gmg, "iterations": int(res.iterations),
+                  "converged": bool(res.converged),
+                  "true_rel_residual": rtrue,
+                  "wall_s": round(wall, 3)}
+            assert pt["converged"] and rtrue < 1e-4, pt
+            report["solver_points"].append(pt)
+            print(f"    dist_mgpcg ndev={d} grid={gmg}: "
+                  f"{pt['iterations']} iters, true rel {rtrue:.1e}")
         print(json.dumps(report))
         if args.out:
             with open(args.out, "w") as f:
