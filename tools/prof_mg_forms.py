@@ -133,12 +133,6 @@ M = mg_preconditioner((g, g))
 dt = time_chained(lambda c: M(c) * sc, bflat, iters=30, warm=3)
 log(f"vcycle apply (pad)  : {dt*1e6:7.1f} us")
 
-# bf16 V-cycle variant: cast in/out
-dt = time_chained(
-    lambda c: M(c.astype(jnp.bfloat16).astype(jnp.float32)) * sc
-    if False else (M(c) * sc), bflat, iters=30, warm=3)
-# (placeholder: real bf16 needs dtype-general internals; skip)
-
 # per-level cost: time truncated hierarchies by raising `coarsest`
 for coarsest in (512, 256, 64, 8):
     Mk = mg_preconditioner((g, g), coarsest=coarsest)

@@ -29,11 +29,15 @@ def honest(A, bv, precond, cap=400):
         return it, None, float(r0.residual_norm / jnp.linalg.norm(bv))
     k0 = it
     k1 = 4 * it
+    def fence(runner, v):
+        r = runner(v)                  # ONE solve; fence both buffers
+        return float(r.residual_norm + 0 * r.x[0])
+
     lo = cg_runner(A, iters=k0, tol=None, precond=precond)
-    t_lo = best_call(lambda: float(lo(bv).residual_norm + 0 * lo(bv).x[0]))
+    t_lo = best_call(lambda: fence(lo, bv))
     while True:
         hi = cg_runner(A, iters=k1, tol=None, precond=precond)
-        t_hi = best_call(lambda: float(hi(bv).residual_norm + 0 * hi(bv).x[0]))
+        t_hi = best_call(lambda: fence(hi, bv))
         sig = t_hi - t_lo
         if sig > max(0.25 * t_lo, 13e-3) or k1 >= 512 * it:
             break

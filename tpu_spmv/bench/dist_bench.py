@@ -159,7 +159,8 @@ def main(argv=None) -> int:
         report["solver_points"] = []
         for d in ndevs:
             gmg = int(round(args.grid * d ** 0.5))
-            gmg -= gmg % (16 * d)          # row-divisible, MG-coarsenable
+            unit = 16 * d                  # row-divisible, MG-coarsenable
+            gmg = max(gmg - gmg % unit, unit)
             mesh = dist.make_mesh(d)
             sp = laplacian_2d(gmg).astype(np.float32).tocsr()
             A = dist.place(dist.HaloCSR.build(sp, d, balance="rows",

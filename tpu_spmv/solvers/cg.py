@@ -26,7 +26,7 @@ from jax import lax
 from ..ops.spmv import spmv
 
 __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
-           "power_iteration", "safe_dinv"]
+           "power_iteration", "safe_dinv", "safe_dinv_host"]
 
 
 class CGResult(NamedTuple):
@@ -59,9 +59,22 @@ def safe_dinv(d, dtype=None):
     """Elementwise safe inverse of a diagonal: zero entries invert to 1
     (the conventional Jacobi/GS fallback — a zero diagonal row gets an
     identity update instead of an inf/NaN).  Accepts host numpy or
-    device arrays; the one place this policy lives."""
+    device arrays; this module is the one place the policy lives
+    (:func:`safe_dinv_host` is its host-numpy twin for build-time use
+    outside any trace)."""
     d = jnp.asarray(d, dtype) if dtype is not None else jnp.asarray(d)
     return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+
+def safe_dinv_host(d):
+    """Host-numpy :func:`safe_dinv` (same zero→identity policy), for
+    preconditioner BUILD time: a traced safe_dinv() result cached in a
+    closure leaks a tracer when the closure is reused across several
+    jitted solvers (hit in round 4, symgs_preconditioner)."""
+    import numpy as np
+
+    d = np.asarray(d, np.float64)
+    return np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
 
 
 def jacobi_preconditioner(A) -> Callable:

@@ -212,13 +212,12 @@ def symgs_preconditioner(A, host_mat, *, sweeps: int = 1,
     color = multicolor(host_mat)
     ncolors = int(color.max()) + 1 if len(color) else 1
     color_dev = jnp.asarray(color, jnp.int32)
-    # safe inverse computed on HOST numpy: caching a safe_dinv() result
-    # built inside a traced apply() would capture a tracer, and reusing
-    # ONE preconditioner closure across several jitted solvers (e.g. the
-    # bench's while-mode + two fixed-k runners) then leaks it
-    # (UnexpectedTracerError — hit in round 4)
-    d = np.asarray(host_mat.diagonal(), dtype=np.float64)
-    dinv_host = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+    # safe inverse computed on HOST numpy at build time (the traced
+    # form cached in the closure leaked a tracer across jits — see
+    # safe_dinv_host's docstring)
+    from .cg import safe_dinv_host
+
+    dinv_host = safe_dinv_host(host_mat.diagonal())
 
     def apply(r):
         dinv = jnp.asarray(dinv_host, r.dtype)
