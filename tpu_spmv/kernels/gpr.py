@@ -1127,8 +1127,13 @@ def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
     # measured 2x SLOWER than qb=4: the 3.2 MB x3 block + z out blocks
     # overflowed VMEM headroom)
     itemsize = jnp.dtype(A.vals.dtype).itemsize
-    qb = max(1, min(_perm.QB_S1,
-                    (2 << 20) // (S * LANES * itemsize), nrhs))
+    qb_cap = max(1, min(_perm.QB_S1,
+                        (2 << 20) // (S * LANES * itemsize), nrhs))
+    # prefer the largest qb <= cap that DIVIDES nrhs: a non-dividing cap
+    # pads the last sweep with dead rhs whose T-G-T-G still runs (the
+    # stage's dominant cost) — e.g. groups of 8 at the S=782 cap of 5
+    # ran 10 slots for 8 real rhs, 25% of stage 1 wasted
+    qb = next((q for q in range(qb_cap, 0, -1) if nrhs % q == 0), qb_cap)
     nq = -(-nrhs // qb)
     if nq * qb != nrhs:
         x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
