@@ -38,6 +38,17 @@ def test_dist_vcycle_matches_serial(mesh, gx, gy, ndev):
     np.testing.assert_allclose(z_dist, z_ser, rtol=2e-5, atol=1e-6)
 
 
+def test_dist_vcycle_matches_serial_3d(mesh):
+    gx, gy, gz = 64, 32, 32
+    rng = np.random.default_rng(11)
+    r = rng.standard_normal(gx * gy * gz).astype(np.float32)
+    z_ser = np.asarray(mg_preconditioner((gx, gy, gz))(jnp.asarray(r)))
+    M = dist_mg_preconditioner(mesh, (gx, gy, gz))
+    z_dist = M(ShardedVector.from_global(
+        r, plan_uniform(gx * gy * gz, 8))).to_global()
+    np.testing.assert_allclose(z_dist, z_ser, rtol=2e-5, atol=1e-6)
+
+
 def test_dist_vcycle_matches_serial_shifted(mesh):
     gx = gy = 64
     rng = np.random.default_rng(8)

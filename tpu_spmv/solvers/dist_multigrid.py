@@ -74,12 +74,25 @@ def _halo_rows(u, axis: str, ndev: int):
 
 
 def _stencil_sharded(u, shift, axis: str, ndev: int):
-    """Row-sharded 2-D ``(4 + shift) u - Σ neighbors`` (zero-Dirichlet),
-    the SPMD form of :func:`.multigrid.poisson_stencil_apply`."""
+    """Axis-0-sharded (2d+1)-point ``(2d + shift) u - Σ neighbors``
+    (zero-Dirichlet), the SPMD form of
+    :func:`.multigrid.poisson_stencil_apply` for 2-D/3-D grids: axis 0
+    neighbors come from the ppermute halos, the local axes reuse the
+    serial pad/slice form."""
+    d = u.ndim
     up, dn = _halo_rows(u, axis, ndev)
-    y = (4.0 + shift) * u
-    y = y - jnp.pad(u[:, 1:], ((0, 0), (0, 1))) \
-          - jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+    y = (2.0 * d + shift) * u
+    for ax in range(1, d):
+        lo = [slice(None)] * d
+        hi = [slice(None)] * d
+        lo[ax] = slice(1, None)
+        hi[ax] = slice(None, -1)
+        pad_lo = [(0, 0)] * d
+        pad_hi = [(0, 0)] * d
+        pad_lo[ax] = (0, 1)
+        pad_hi[ax] = (1, 0)
+        y = y - jnp.pad(u[tuple(lo)], pad_lo) \
+              - jnp.pad(u[tuple(hi)], pad_hi)
     y = y - jnp.concatenate([u[1:], dn], axis=0) \
           - jnp.concatenate([up, u[:-1]], axis=0)
     return y
@@ -100,15 +113,17 @@ def _interp_rows_sharded(u, axis: str, ndev: int):
     up = jnp.concatenate([u[1:], next_row], axis=0)    # u[i+1]
     even = (3.0 * u + um) * 0.25
     odd = (3.0 * u + up) * 0.25
-    stacked = jnp.stack([even, odd], axis=1)           # [lx, 2, gy]
-    return stacked.reshape(u.shape[0] * 2, u.shape[1])
+    stacked = jnp.stack([even, odd], axis=1)       # [lx, 2, rest...]
+    return stacked.reshape((u.shape[0] * 2,) + u.shape[1:])
 
 
 def _prolong_sharded(uc, axis: str, ndev: int):
-    """2-D bilinear prolongation, rows sharded: sharded row interp then
-    the serial (fully local) column interp."""
+    """d-linear prolongation, axis 0 sharded: the sharded axis-0 interp
+    then the serial (fully local) interps along the remaining axes."""
     f = _interp_rows_sharded(uc, axis, ndev)
-    return _interp1d(f, 1)
+    for ax in range(1, uc.ndim):
+        f = _interp1d(f, ax)
+    return f
 
 
 def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
@@ -117,77 +132,84 @@ def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
                            coarse_degree: int = 16, min_local: int = 8,
                            axis: str = "x") -> Callable:
     """Build ``apply(r: ShardedVector) -> ShardedVector``, the SPMD
-    MG V-cycle preconditioner for the row-sharded grid Poisson operator
-    ``laplacian_2d(gx, gy) + shift·I``.
+    MG V-cycle preconditioner for the axis-0-sharded grid Poisson
+    operator ``laplacian_2d/_3d(...) + shift·I`` (2-D and 3-D grids).
 
     Pass as ``precond=`` to :func:`~tpu_spmv.solvers.dist_cg`.  The
     vector must be the :func:`~tpu_spmv.dist.partition.plan_uniform`
-    split of the flat ``[gx*gy]`` grid vector with ``gx % ndev == 0``
-    (the uniform split then lands exactly on grid-row boundaries).
+    split of the flat ``[prod(grid_shape)]`` grid vector with
+    ``grid_shape[0] % ndev == 0`` (the uniform split then lands exactly
+    on axis-0 slab boundaries).
 
-    ``min_local``: levels whose local row block would be thinner than
-    this run replicated after one small ``all_gather`` (see module
-    docstring).  2-D only (the serial 3-D form shards the same way —
-    future work once a 3-D distributed bench exists).
+    ``min_local``: levels whose local slab would be thinner than this
+    run replicated after one small ``all_gather`` (see module
+    docstring).
     """
-    gx, gy = (int(g) for g in grid_shape)
+    gshape = tuple(int(g) for g in grid_shape)
+    d = len(gshape)
+    if d not in (2, 3):
+        raise ValueError(f"dist_mg_preconditioner supports 2-D/3-D "
+                         f"grids, got {gshape}")
+    gx = gshape[0]
     ndev = mesh.shape[axis]
     if gx % ndev:
         raise ValueError(f"gx={gx} must be divisible by ndev={ndev}")
     if nu1 < 0 or nu2 < 0 or nu1 + nu2 == 0:
         raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
     # the SAME level geometry as the serial mg_preconditioner
-    shapes = [(gx, gy)]
+    shapes = [gshape]
     shifts = [float(shift)]
     while (all(g % 2 == 0 for g in shapes[-1])
            and min(shapes[-1]) > coarsest):
         shapes.append(tuple(g // 2 for g in shapes[-1]))
         shifts.append(shifts[-1] * 4.0)
     nlev = len(shapes)
-    # sharded prefix: local row block stays even-sized and >= min_local
+    # sharded prefix: local axis-0 slab stays even-sized and >= min_local
     nshard = 0
     while (nshard < nlev - 1
            and shapes[nshard][0] % ndev == 0
            and shapes[nshard][0] // ndev >= max(min_local, 2)
            and (shapes[nshard][0] // ndev) % 2 == 0):
         nshard += 1
-    n = gx * gy
+    n = math.prod(gshape)
     C = n // ndev
-    lx0 = gx // ndev
+    local0 = (gx // ndev,) + gshape[1:]
+
+    def halfzero(r):
+        # a zero of the NEXT level's local shape DERIVED from r so it
+        # carries r's varying-across-mesh type — a fresh jnp.zeros is
+        # unvarying and shard_map's vjp rejects the cotangent
+        return r[tuple(slice(None, None, 2) for _ in range(r.ndim))] * 0
 
     def smooth(u, b, lvl, sweeps):
-        dinv = omega / (4.0 + shifts[lvl])
+        dinv = omega / (2.0 * d + shifts[lvl])
         for _ in range(sweeps):
             u = u + dinv * (b - _stencil_sharded(u, shifts[lvl], axis,
                                                  ndev))
         return u
 
     def restrict_sharded(r, lvl):
-        # seed the vjp with a zero DERIVED from r (r[::2, ::2] * 0) so it
-        # carries r's varying-across-mesh type — a fresh jnp.zeros is
-        # unvarying and shard_map's vjp rejects the cotangent
-        zc = r[::2, ::2] * 0
-        _, vjp = jax.vjp(lambda c: _prolong_sharded(c, axis, ndev), zc)
-        return vjp(r)[0] * 0.25
+        _, vjp = jax.vjp(lambda c: _prolong_sharded(c, axis, ndev),
+                         halfzero(r))
+        return vjp(r)[0] * (0.5 ** d)
 
     # ---- replicated tail (serial code on the gathered grid) -----------
     def smooth_rep(u, b, lvl, sweeps):
-        dinv = omega / (4.0 + shifts[lvl])
+        dinv = omega / (2.0 * d + shifts[lvl])
         for _ in range(sweeps):
             u = u + dinv * (b - poisson_stencil_apply(u, shifts[lvl]))
         return u
 
     def restrict_rep(r, lvl):
-        zc = r[::2, ::2] * 0          # varying-typed zero (see above)
-        _, vjp = jax.vjp(_prolong, zc)
-        return vjp(r)[0] * 0.25
+        _, vjp = jax.vjp(_prolong, halfzero(r))
+        return vjp(r)[0] * (0.5 ** d)
 
     def vcycle_rep(lvl, b):
         if lvl == nlev - 1:
             g = max(shapes[lvl])
             c = shifts[lvl]
-            lmin = c + 8.0 * math.sin(math.pi / (4.0 * g)) ** 2
-            lmax = c + 8.0
+            lmin = c + 4.0 * d * math.sin(math.pi / (4.0 * g)) ** 2
+            lmax = c + 4.0 * d
             return _cheby_solve(b, lambda v: poisson_stencil_apply(v, c),
                                 lmin, lmax, coarse_degree)
         u = smooth_rep(jnp.zeros_like(b), b, lvl, nu1)
@@ -199,13 +221,14 @@ def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
     def vcycle(lvl, b):
         if lvl == nshard:
             # switch: gather the (small) level grid, run replicated, and
-            # slice this shard's rows back
+            # slice this shard's slab back
             lx = shapes[lvl][0] // ndev
-            b_rep = lax.all_gather(b, axis, tiled=True)   # [gx_l, gy_l]
+            b_rep = lax.all_gather(b, axis, tiled=True)
             z_rep = vcycle_rep(lvl, b_rep)
-            start = lax.axis_index(axis) * jnp.int32(lx)
-            return lax.dynamic_slice(
-                z_rep, (start, jnp.int32(0)), (lx, shapes[lvl][1]))
+            start = (lax.axis_index(axis) * jnp.int32(lx),) + \
+                (jnp.int32(0),) * (d - 1)
+            return lax.dynamic_slice(z_rep, start,
+                                     (lx,) + shapes[lvl][1:])
         u = smooth(jnp.zeros_like(b), b, lvl, nu1)
         r = b - _stencil_sharded(u, shifts[lvl], axis, ndev)
         e = vcycle(lvl + 1, restrict_sharded(r, lvl))
@@ -215,7 +238,7 @@ def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
     @functools.partial(_shard_map, mesh=mesh, in_specs=(P(axis),),
                        out_specs=P(axis))
     def run(chunks):
-        b = chunks[0].reshape(lx0, gy)
+        b = chunks[0].reshape(local0)
         z = vcycle(0, b)
         return z.reshape(1, C)
 
@@ -225,8 +248,9 @@ def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
         if r.length != n or r.chunk_size != C or r.starts != starts:
             raise ValueError(
                 f"dist_mg_preconditioner built for the uniform "
-                f"[{gx}x{gy}] grid split over {ndev} shards (chunks of "
-                f"{C}); got length={r.length} chunk={r.chunk_size}")
+                f"{'x'.join(map(str, gshape))} grid split over {ndev} "
+                f"shards (chunks of {C}); got length={r.length} "
+                f"chunk={r.chunk_size}")
         return ShardedVector(chunks=run(r.chunks), starts=r.starts,
                              length=r.length)
 
