@@ -27,8 +27,10 @@ def _sharded(x, gx, gy, ndev):
 
 
 @pytest.mark.parametrize("gx,gy,ndev", [(64, 64, 8), (64, 48, 4),
-                                        (32, 32, 1)])
+                                        (32, 32, 1), (32, 32, 8)])
 def test_dist_vcycle_matches_serial(mesh, gx, gy, ndev):
+    # (32, 32, 8): local slab 4 < min_local -> nshard=0, the whole cycle
+    # runs replicated behind one gather (the small-grid degenerate path)
     sub = dist.make_mesh(ndev) if ndev != 8 else mesh
     rng = np.random.default_rng(7)
     r = rng.standard_normal(gx * gy).astype(np.float32)
