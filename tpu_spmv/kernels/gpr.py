@@ -1129,11 +1129,15 @@ def _spmm_stage1(A: GPCSR, x3: jax.Array, *,
     itemsize = jnp.dtype(A.vals.dtype).itemsize
     qb_cap = max(1, min(_perm.QB_S1,
                         (2 << 20) // (S * LANES * itemsize), nrhs))
-    # prefer the largest qb <= cap that DIVIDES nrhs: a non-dividing cap
-    # pads the last sweep with dead rhs whose T-G-T-G still runs (the
-    # stage's dominant cost) — e.g. groups of 8 at the S=782 cap of 5
-    # ran 10 slots for 8 real rhs, 25% of stage 1 wasted
-    qb = next((q for q in range(qb_cap, 0, -1) if nrhs % q == 0), qb_cap)
+    # pick qb by the stage's cost model: each tile-sweep pays a fixed
+    # ~0.7us step cost plus ~672ns per rhs SLOT (padded slots' T-G-T-G —
+    # the stage's dominant op — runs on dead data too).  Blindly taking
+    # the cap wastes slots (groups of 8 at the S=782 cap of 5 ran 10
+    # slots for 8 real rhs — 25% of stage 1; fixed round 4, 2.8 -> 2.47
+    # ms SpMM32), while forcing exact divisors collapses prime nrhs to
+    # the skinny qb=1 steps measured ~2x slower.
+    qb = min(range(1, qb_cap + 1),
+             key=lambda q: -(-nrhs // q) * (700 + q * 672))
     nq = -(-nrhs // qb)
     if nq * qb != nrhs:
         x3 = jnp.pad(x3, ((0, nq * qb - nrhs), (0, 0), (0, 0)))
