@@ -1392,20 +1392,40 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
     # 350k chunks, a full launch set for 1 tile of work; the last block
     # swallows the tail instead)
     nblocks = max(1, -(-nnz // max(chunk_nnz, 1)))
+    # plan all cuts up front (cheap indptr arithmetic), pack block 0
+    # synchronously (it sets the shared rp_hint the chunk-fold needs),
+    # then pack the remaining blocks on a thread pool: the work is host
+    # numpy (releases the GIL for large ops) + the OpenMP C++ router
+    # (ctypes releases the GIL for the call), on disjoint csr[lo:hi]
+    # copies.  Measured on the 5M-nnz power-law (15 chunks, 4 cores):
+    # pack 6.4 -> ~3 s host-side.
+    cuts = []
     i = 0
     while lo < nrow:
         remaining = nnz - int(indptr[lo])
         target = -(-remaining // max(nblocks - i, 1))
         hi = cut(lo, target)
+        cuts.append((lo, hi))
         i += 1
-        new = pack_block(lo, hi, rp_hint=rp_hint)
-        blocks.extend(new)
-        if rp_hint is None:
-            for (_, _, _, h) in new:
-                if "s1" in h:
-                    rp_hint = int(h["s1"]["rp128"])
-                    break
         lo = hi
+    first = pack_block(*cuts[0], rp_hint=rp_hint)
+    blocks.extend(first)
+    if rp_hint is None:
+        for (_, _, _, h) in first:
+            if "s1" in h:
+                rp_hint = int(h["s1"]["rp128"])
+                break
+    if len(cuts) > 2:
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [ex.submit(pack_block, lo_i, hi_i, rp_hint=rp_hint)
+                    for (lo_i, hi_i) in cuts[1:]]
+            for f in futs:
+                blocks.extend(f.result())
+    else:
+        for (lo_i, hi_i) in cuts[1:]:
+            blocks.extend(pack_block(lo_i, hi_i, rp_hint=rp_hint))
     splits = [0] + [hi for (_, hi, _, _) in blocks]
     fold = _build_chunk_fold(blocks, nrow) if len(blocks) > 1 else None
     if fold is None:
