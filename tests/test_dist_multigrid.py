@@ -94,6 +94,20 @@ def test_dist_mgpcg_iteration_collapse(mesh):
     assert np.linalg.norm(rtrue) <= 1e-5 * np.linalg.norm(bh)
 
 
+def test_dist_vcycle_deterministic(mesh):
+    # the determinism guarantee (SURVEY aux: race detection) extends to
+    # the SPMD V-cycle: repeated applies are BITWISE identical — no
+    # atomics, no reduction-order ambiguity (its only collectives are
+    # ppermutes and one all_gather, both order-preserving)
+    gx = gy = 64
+    r = _sharded(np.random.default_rng(12).standard_normal(gx * gy),
+                 gx, gy, 8)
+    M = dist_mg_preconditioner(mesh, (gx, gy))
+    z1 = np.asarray(M(r).chunks)
+    z2 = np.asarray(M(r).chunks)
+    np.testing.assert_array_equal(z1, z2)
+
+
 def test_dist_mg_validation(mesh):
     M = dist_mg_preconditioner(mesh, (64, 64))
     bad = _sharded(np.zeros(32 * 32), 32, 32, 8)
