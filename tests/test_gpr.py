@@ -124,6 +124,15 @@ def test_gpr_supports():
     assert not gpr.supports((1000, 1000), 10**7, chunked=False)
 
 
+def test_gpr_chunked_empty_matrix():
+    # 0-row input returns an empty pack (regression: the cut-planning
+    # refactor raised IndexError on cuts[0])
+    import scipy.sparse as sp
+
+    A = gpr.pack_gpr_chunked(sp.csr_matrix((0, 5), dtype=np.float32))
+    assert A.chunks == () and A.row_splits == (0,) and A.nnz == 0
+
+
 def test_gpr_chunked_balanced_cuts():
     """Chunk cuts recompute the target from REMAINING nnz: ceil(nnz/
     chunk_nnz) blocks of ~equal size, no trailing sliver (a fixed

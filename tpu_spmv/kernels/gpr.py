@@ -1408,6 +1408,9 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         cuts.append((lo, hi))
         i += 1
         lo = hi
+    if not cuts:                       # 0-row matrix: empty pack
+        return GPCSRChunked(chunks=(), shape=(int(nrow), int(ncol)),
+                            nnz=nnz, row_splits=(0,), fold=None)
     first = pack_block(*cuts[0], rp_hint=rp_hint)
     blocks.extend(first)
     if rp_hint is None:
