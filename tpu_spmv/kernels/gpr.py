@@ -753,11 +753,14 @@ def _reduce_step_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
     ``[tps*8, 128] @ [128, k]`` MXU contraction (per-tile fori_loop
     bodies with dynamic first-axis slices cost ~150ns/tile in Mosaic)."""
     prod = (vals_ref[:] * g_ref[:]).reshape(tps * 8, LANES)
+    # f32 accumulator: Mosaic requires a 32-bit matmul acc (bf16-data
+    # packs would fail to lower), and bf16 partial sums would lose
+    # precision anyway; the cast back is free for f32 data
     out = lax.dot_general(
         prod, mask_ref[:], (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
-        preferred_element_type=prod.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(prod.dtype)
     o_ref[:] = out.reshape(tps, 8, k)
 
 
@@ -974,8 +977,8 @@ def _fused_s23_reduce_rhs_kernel(rowsrc_ref, z_ref, b2_ref, b3_ref,
     out = lax.dot_general(
         prod, mask_ref[:], (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
-        preferred_element_type=prod.dtype,
-    )
+        preferred_element_type=jnp.float32,   # 32-bit acc (Mosaic req.)
+    ).astype(prod.dtype)
     o_ref[0] = out.reshape(tb, rp128, 16)
 
 
@@ -1003,8 +1006,8 @@ def _fused_s23_reduce_rhs_kernel_v3(rowsrc_ref, z_ref, b2_ref, vals_ref,
         o_ref[0, i] = lax.dot_general(
             mt_ref[:], prod, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST,
-            preferred_element_type=prod.dtype,
-        )
+            preferred_element_type=jnp.float32,  # 32-bit acc (Mosaic req.)
+        ).astype(prod.dtype)
 
 
 def _run_s23_reduce_fused_batched(A: GPCSR, z: jax.Array, *,
