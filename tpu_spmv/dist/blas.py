@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from .sharded import ShardedVector
 
-__all__ = ["dot", "axpby", "axpy", "scale", "norm2", "check_aligned"]
+__all__ = ["dot", "dot_stack", "axpby", "axpy", "scale", "norm2",
+           "check_aligned"]
 
 
 def check_aligned(x: ShardedVector, y: ShardedVector) -> None:
@@ -27,6 +28,19 @@ def check_aligned(x: ShardedVector, y: ShardedVector) -> None:
 def dot(x: ShardedVector, y: ShardedVector):
     check_aligned(x, y)
     return jnp.vdot(x.chunks, y.chunks)
+
+
+def dot_stack(*pairs):
+    """Fused multi-dot: ``[len(pairs)]`` array of ``x·y`` for several
+    aligned pairs, reduced TOGETHER so SPMD partitioning inserts ONE
+    ``all-reduce`` for the whole batch (separate :func:`dot` calls with
+    data dependencies between them each pay their own barrier — the
+    communication-avoiding solvers exist to amortize exactly this).
+    All vectors must share one partition; real dtypes only."""
+    for x, y in pairs:
+        check_aligned(x, y)
+    prods = jnp.stack([x.chunks * y.chunks for x, y in pairs])
+    return prods.sum(axis=tuple(range(1, prods.ndim)))
 
 
 def axpby(alpha, x: ShardedVector, beta, y: ShardedVector) -> ShardedVector:

@@ -52,6 +52,13 @@ __all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "spmm_gpr", "GPCSRChunked",
 LANES = 128
 #: width-class lane budgets (rows per sublane = 128 // W)
 CLASS_W = (8, 16, 32, 64, 128)
+
+
+def _acc_dtype(dtype) -> jnp.dtype:
+    """Matmul accumulator dtype: f32 for <=32-bit data (Mosaic's
+    requirement for bf16, lossless for f32), the data dtype itself for
+    f64 packs so the interpret/CPU-oracle path keeps full precision."""
+    return jnp.float32 if jnp.dtype(dtype).itemsize <= 4 else jnp.dtype(dtype)
 #: cap per single pipeline: the permutation engine's exchange stage keeps
 #: the whole routed buffer VMEM-resident (~n*4 bytes <= ~12 MB), so one
 #: plan covers n ~ 3M slots ~ 2.4M nnz.  Routing itself goes two-level
@@ -753,13 +760,14 @@ def _reduce_step_kernel(vals_ref, g_ref, mask_ref, o_ref, *, tps, k):
     ``[tps*8, 128] @ [128, k]`` MXU contraction (per-tile fori_loop
     bodies with dynamic first-axis slices cost ~150ns/tile in Mosaic)."""
     prod = (vals_ref[:] * g_ref[:]).reshape(tps * 8, LANES)
-    # f32 accumulator: Mosaic requires a 32-bit matmul acc (bf16-data
-    # packs would fail to lower), and bf16 partial sums would lose
-    # precision anyway; the cast back is free for f32 data
+    # Accumulator: >=32-bit.  Mosaic requires a 32-bit matmul acc for
+    # narrow data (bf16 packs would fail to lower, and bf16 partial
+    # sums would lose precision anyway); f64 packs (interpret/CPU
+    # oracle paths) must NOT be downgraded to f32 (ADVICE r4).
     out = lax.dot_general(
         prod, mask_ref[:], (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(prod.dtype),
     ).astype(prod.dtype)
     o_ref[:] = out.reshape(tps, 8, k)
 
@@ -977,7 +985,7 @@ def _fused_s23_reduce_rhs_kernel(rowsrc_ref, z_ref, b2_ref, b3_ref,
     out = lax.dot_general(
         prod, mask_ref[:], (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,   # 32-bit acc (Mosaic req.)
+        preferred_element_type=_acc_dtype(prod.dtype),  # >=32-bit acc
     ).astype(prod.dtype)
     o_ref[0] = out.reshape(tb, rp128, 16)
 
@@ -1006,7 +1014,7 @@ def _fused_s23_reduce_rhs_kernel_v3(rowsrc_ref, z_ref, b2_ref, vals_ref,
         o_ref[0, i] = lax.dot_general(
             mt_ref[:], prod, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,  # 32-bit acc (Mosaic req.)
+            preferred_element_type=_acc_dtype(prod.dtype),  # >=32-bit acc
         ).astype(prod.dtype)
 
 

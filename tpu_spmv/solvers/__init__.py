@@ -5,7 +5,8 @@ from .block_cg import CGMultiResult, cg_multi, cg_multi_runner
 from .cg import (CGResult, cg, cg_runner, jacobi_preconditioner,
                  power_iteration)
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
-from .dist_cg import DistCGResult, dist_cg
+from .dist_cg import DistCGResult, dist_cg, dist_cg_ca
+from .dist_gmres import DistGMRESResult, dist_gmres
 from .ir import IRResult, ir_runner, ir_solve
 from .krylov import KrylovResult, bicgstab, gmres
 from .lanczos import LanczosResult, eigsh_lanczos, lanczos
@@ -20,7 +21,8 @@ __all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
            "power_iteration",
            "CGMultiResult", "cg_multi", "cg_multi_runner",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",
-           "DistCGResult", "dist_cg",
+           "DistCGResult", "dist_cg", "dist_cg_ca",
+           "DistGMRESResult", "dist_gmres",
            "IRResult", "ir_solve", "ir_runner",
            "KrylovResult", "bicgstab", "gmres",
            "LanczosResult", "lanczos", "eigsh_lanczos",

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..dist import blas
-from ..dist.sharded import HaloCSR, ShardedCSR, ShardedVector
-from ..dist.spmv import spmv_allgather, spmv_halo
+from ..dist.sharded import ShardedVector
+from .dist_cg import _dist_matvec
 
 __all__ = ["DistBiCGSTABResult", "dist_bicgstab"]
 
@@ -30,27 +30,16 @@ class DistBiCGSTABResult(NamedTuple):
 
 
 def dist_bicgstab(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
-                  maxiter: int = 500, axis: str = "x"
-                  ) -> DistBiCGSTABResult:
-    """BiCGSTAB with a mesh-sharded matrix (ShardedCSR or HaloCSR)."""
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("dist_bicgstab requires a square matrix")
-    if A.row_starts != b.starts:
-        raise ValueError(
-            "b must be partitioned by the matrix row plan "
-            "(build with ShardedVector.from_global(b, A.row_plan))"
-        )
-    if A.col_starts != A.row_starts:
-        raise ValueError(
-            "dist_bicgstab needs row partition == column partition; build "
-            "the sharded matrix with square_plan=True"
-        )
-    if isinstance(A, HaloCSR):
-        matvec = lambda v: spmv_halo(mesh, A, v, axis=axis)
-    elif isinstance(A, ShardedCSR):
-        matvec = lambda v: spmv_allgather(mesh, A, v, axis=axis)
-    else:
-        raise TypeError(f"unsupported sharded matrix {type(A).__name__}")
+                  maxiter: int = 500, axis: str = "x",
+                  precond=None) -> DistBiCGSTABResult:
+    """BiCGSTAB with a mesh-sharded matrix (ShardedCSR or HaloCSR).
+
+    ``precond``: optional ``M(v: ShardedVector) -> ShardedVector``
+    applied on the right (``A M⁻¹``), exactly like the serial
+    :func:`~tpu_spmv.solvers.krylov.bicgstab` — e.g. a sharded Jacobi
+    scale or :func:`~tpu_spmv.solvers.dist_mg_preconditioner`."""
+    matvec = _dist_matvec(mesh, A, b, axis, "dist_bicgstab")
+    M = precond if precond is not None else (lambda v: v)
 
     @jax.jit
     def run(b):
@@ -79,22 +68,24 @@ def dist_bicgstab(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
                              (rho_new / jnp.where(broke, 1, rho))
                              * (alpha / omega))
             p = blas.axpby(1.0, r, beta, blas.axpy(-omega, v, p))
-            v = matvec(p)
+            ph = M(p)
+            v = matvec(ph)
             denom = blas.dot(rhat, v)
             broke = broke | (jnp.abs(denom) <= eps)
             alpha = jnp.where(broke, 0,
                               rho_new / jnp.where(broke, 1, denom))
             s = blas.axpy(-alpha, v, r)
-            t = matvec(s)
+            sh = M(s)
+            t = matvec(sh)
             tt = blas.dot(t, t)
             broke_o = tt <= eps
             omega_new = jnp.where(broke_o, 0,
                                   blas.dot(t, s) / jnp.where(broke_o, 1, tt))
-            x = blas.axpy(omega_new, s, blas.axpy(alpha, p, x))
+            x = blas.axpy(omega_new, sh, blas.axpy(alpha, ph, x))
             r = blas.axpy(-omega_new, t, s)
             # exact solve mid-step (s == 0) is success, not breakdown
             done = jnp.sqrt(blas.dot(s, s)) <= limit
-            x_done = blas.axpy(-omega_new, s, x)   # keep only x + alpha p
+            x_done = blas.axpy(-omega_new, sh, x)  # keep only x + alpha ph
             x = ShardedVector(
                 chunks=jnp.where(done, x_done.chunks, x.chunks),
                 starts=x.starts, length=x.length)

@@ -156,6 +156,13 @@ def dist_mg_preconditioner(mesh: Mesh, grid_shape: Sequence[int], *,
         raise ValueError(f"gx={gx} must be divisible by ndev={ndev}")
     if nu1 < 0 or nu2 < 0 or nu1 + nu2 == 0:
         raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
+    if nu1 != nu2:
+        # see mg_preconditioner: unequal sweep counts break V-cycle
+        # symmetry and hence PCG validity (ADVICE r4)
+        import warnings
+        warnings.warn(
+            f"nu1={nu1} != nu2={nu2} makes the V-cycle non-symmetric; "
+            "the result is not a valid PCG preconditioner", stacklevel=2)
     # the SAME level geometry as the serial mg_preconditioner
     shapes = [gshape]
     shifts = [float(shift)]

@@ -158,6 +158,15 @@ def mg_preconditioner(grid_shape: Sequence[int], *, shift: float = 0.0,
         raise ValueError(f"grid too small: {grid_shape}")
     if nu1 < 0 or nu2 < 0 or nu1 + nu2 == 0:
         raise ValueError("need nu1 + nu2 >= 1 smoothing sweeps")
+    if nu1 != nu2:
+        # the Jacobi smoother is symmetric, but the V-cycle operator is
+        # symmetric only when pre- and post-sweep counts match; an
+        # asymmetric cycle is NOT a valid PCG preconditioner (ADVICE r4)
+        import warnings
+        warnings.warn(
+            f"nu1={nu1} != nu2={nu2} makes the V-cycle non-symmetric; "
+            "the result is not a valid PCG preconditioner (fine for "
+            "standalone smoothing / flexible methods)", stacklevel=2)
     # level geometry: halve while all axes even and above `coarsest`
     shapes = [grid_shape]
     shifts = [float(shift)]
