@@ -191,3 +191,113 @@ def test_init_multihost_forwards_and_survives(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", raising_init)
     dist.init_multihost()  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# neighbor-halo strategy + distributed cost model (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("balance", ["nnz", "rows"])
+def test_spmv_neighbor(mesh, mat, balance, rng):
+    csr = ts.convert(ts.COO.from_scipy(mat), "csr")
+    A = dist.NeighborCSR.build(csr, 8, balance=balance)
+    x = rng.standard_normal(mat.shape[1])
+    xs = dist.ShardedVector.from_global(x, A.col_plan)
+    A, xs = dist.place(A, mesh), dist.place(xs, mesh)
+    ys = dist.spmv_neighbor(mesh, A, xs)
+    np.testing.assert_allclose(ys.to_global(), mat @ x, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_neighbor_banded_ships_two_chunks(mesh):
+    """A banded operator's halo set is exactly the +-1 ring neighbors —
+    the whole point of the strategy (the ring HaloCSR rotates all 8)."""
+    mat = utils.laplacian_2d(32, 32)
+    csr = ts.convert(ts.COO.from_scipy(mat.tocoo()), "csr")
+    A = dist.NeighborCSR.build(csr, 8, balance="rows", square=True)
+    assert set(A.offsets) == {1, 7}          # +1 and -1 (mod 8)
+
+
+def test_spmm_neighbor(mesh, rng):
+    mat = utils.random_sparse(300, 300, 0.03, seed=67)
+    csr = ts.convert(ts.COO.from_scipy(mat), "csr")
+    A = dist.NeighborCSR.build(csr, 8)
+    X = rng.standard_normal((300, 4))
+    Xs = dist.ShardedVector.from_global(X, A.col_plan)
+    A, Xs = dist.place(A, mesh), dist.place(Xs, mesh)
+    Ys = dist.spmm_neighbor(mesh, A, Xs)
+    s = A.row_starts
+    Yg = np.concatenate([np.asarray(Ys.chunks)[i, : s[i + 1] - s[i]]
+                         for i in range(8)])
+    np.testing.assert_allclose(Yg, mat @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_neighbor_equals_allgather(mesh, rng):
+    mat = utils.random_sparse(400, 400, 0.02, seed=68)
+    csr = ts.convert(ts.COO.from_scipy(mat), "csr")
+    x = rng.standard_normal(400)
+    Ag = dist.ShardedCSR.build(csr, 8)
+    An = dist.NeighborCSR.build(csr, 8)
+    xg = dist.ShardedVector.from_global(x, Ag.col_plan)
+    y1 = dist.spmv_allgather(mesh, Ag, xg).to_global()
+    y2 = dist.spmv_neighbor(mesh, An, xg).to_global()
+    np.testing.assert_allclose(y1, y2, rtol=1e-13)
+
+
+def test_predict_dist_costs_ring_inflation():
+    """The cost model captures the measured pathology: on a banded
+    operator the ring strategy's padded-bucket work is ~ndev x the
+    single-pass strategies' (DIST_r04 measured 6.6x at ndev=8)."""
+    lap = utils.laplacian_2d(64, 64).tocsr().astype(np.float32)
+    c = dist.predict_dist_costs(lap, 8, square=True)
+    assert c["csr_halo"]["work_vals"] >= 4 * c["csr_allgather"]["work_vals"]
+    assert c["pick"] in ("csr_neighbor", "csr_allgather")
+    assert c["csr_neighbor"]["halo_offsets"] == 2
+
+
+def test_predict_dist_costs_link_bandwidth_crossover():
+    """Parameterized link bandwidth moves the crossover: at DCN-like
+    bandwidth the neighbor strategy's k-chunk traffic beats the
+    all-gather's (P-1)-chunk traffic on a banded operator."""
+    lap = utils.laplacian_2d(256, 256).tocsr().astype(np.float32)
+    slow = dist.predict_dist_costs(lap, 8, square=True, link_gbps=0.05)
+    assert slow["pick"] == "csr_neighbor"
+    assert (slow["csr_neighbor"]["comm_bytes"]
+            < slow["csr_allgather"]["comm_bytes"])
+
+
+def test_plan_dist_csr_strategies(mesh, rng):
+    """Forced csr_neighbor / csr_allgather plans execute and verify;
+    the None-strategy CSR fallback picks via the cost model."""
+    import dataclasses as dc
+
+    mat = utils.random_sparse(500, 500, 0.05, seed=69)  # too dense for gpr?
+    x = rng.standard_normal(500).astype(np.float32)
+    ref = mat.astype(np.float64) @ x.astype(np.float64)
+    for strat in ("csr_neighbor", "csr_allgather", "csr_halo"):
+        plan = dist.plan_dist_spmv(mat, 8, dtype=np.float32,
+                                   strategy=strat)
+        assert plan.strategy == strat
+        xs = dist.place(plan.shard_x(x, dtype=np.float32), mesh)
+        M = dist.place(plan.matrix, mesh)
+        y = dc.replace(plan, matrix=M).spmv(mesh, xs)
+        yg = plan.y_to_global(y)
+        rel = np.max(np.abs(yg - ref)) / np.max(np.abs(ref))
+        assert rel < 2e-5, (strat, rel)
+
+
+def test_dist_cg_neighbor(rng):
+    """dist_cg over the neighbor-halo matvec."""
+    from tpu_spmv.solvers import dist_cg
+
+    spd = utils.laplacian_2d(12, 12)
+    mesh = dist.make_mesh(8)
+    csr = ts.convert(ts.COO.from_scipy(spd.tocoo()), "csr")
+    A = dist.NeighborCSR.build(csr, 8, square=True)
+    b = rng.standard_normal(144)
+    bs = dist.ShardedVector.from_global(b, A.row_plan)
+    A, bs = dist.place(A, mesh), dist.place(bs, mesh)
+    res = dist_cg(mesh, A, bs, tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(spd @ res.x.to_global(), b, rtol=1e-6,
+                               atol=1e-7)

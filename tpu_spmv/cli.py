@@ -258,8 +258,11 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
                         print(f"planner: cache stale ({e}); re-packing")
                     plan = None
         if plan is None:
-            # plan from the host-side matrix: packing stays off-device
-            plan = plan_spmv(host_mat, dtype=dtype)
+            # plan from the host-side matrix: packing stays off-device.
+            # --pallas forces the Pallas tier on (CPU defaults it off),
+            # same as the sweep path (r5 fix: --auto used to ignore it)
+            plan = plan_spmv(host_mat, dtype=dtype,
+                             use_pallas=args.pallas or None)
             if cache_file:
                 from .io.checkpoint import save_matrix
 

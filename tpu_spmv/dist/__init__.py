@@ -17,28 +17,31 @@ The mapping (SURVEY.md §2.2):
 """
 
 from .partition import RowPlan, plan_rows, plan_even, plan_uniform
-from .sharded import ShardedVector, ShardedCSR, HaloCSR, ColShardedCSR
-from .spmv import (spmv_allgather, spmv_halo, spmv_colsplit,
-                   spmm_allgather, spmm_halo, place, sharded_spec)
+from .sharded import (ShardedVector, ShardedCSR, HaloCSR, NeighborCSR,
+                      ColShardedCSR)
+from .spmv import (spmv_allgather, spmv_halo, spmv_neighbor, spmv_colsplit,
+                   spmm_allgather, spmm_halo, spmm_neighbor, place,
+                   sharded_spec)
 from .planned import (ShardedDIA, ShardedBDIA, ShardedSDIA, ShardedPSDIA,
                       ShardedGPR,
                       spmv_dia_sharded, spmv_bdia_sharded,
                       spmv_sdia_sharded, spmv_psdia_sharded,
                       spmv_gpr_sharded,
-                      DistPlan, plan_dist_spmv)
+                      DistPlan, plan_dist_spmv, predict_dist_costs)
 from .mesh import make_mesh, init_multihost, device_count
 from . import blas
 
 __all__ = [
     "RowPlan", "plan_rows", "plan_even", "plan_uniform",
-    "ShardedVector", "ShardedCSR", "HaloCSR", "ColShardedCSR",
-    "spmv_allgather", "spmv_halo", "spmv_colsplit",
-    "spmm_allgather", "spmm_halo",
+    "ShardedVector", "ShardedCSR", "HaloCSR", "NeighborCSR",
+    "ColShardedCSR",
+    "spmv_allgather", "spmv_halo", "spmv_neighbor", "spmv_colsplit",
+    "spmm_allgather", "spmm_halo", "spmm_neighbor",
     "ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedPSDIA",
     "ShardedGPR",
     "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
     "spmv_psdia_sharded", "spmv_gpr_sharded",
-    "DistPlan", "plan_dist_spmv",
+    "DistPlan", "plan_dist_spmv", "predict_dist_costs",
     "place", "sharded_spec",
     "make_mesh", "init_multihost", "device_count",
     "blas",

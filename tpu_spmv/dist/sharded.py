@@ -34,7 +34,8 @@ from ..formats.base import as_index_array, sparse_dataclass, static_field
 from ..formats.csr import CSR
 from .partition import RowPlan, plan_even, plan_rows
 
-__all__ = ["ShardedVector", "ShardedCSR", "HaloCSR", "ColShardedCSR"]
+__all__ = ["ShardedVector", "ShardedCSR", "HaloCSR", "NeighborCSR",
+           "ColShardedCSR"]
 
 
 def _pad_to(arr: np.ndarray, size: int, fill=0) -> np.ndarray:
@@ -279,6 +280,136 @@ class HaloCSR:
             data=jnp.asarray(d, dtype=csr.data.dtype),
             cols=as_index_array(c),
             rows=as_index_array(r),
+            shape=csr.shape,
+            row_starts=rplan.starts,
+            col_starts=cplan.starts,
+            nnz=csr.nnz,
+        )
+
+    def unpad_y(self, y_stacked) -> np.ndarray:
+        y = np.asarray(y_stacked)
+        s = self.row_starts
+        return np.concatenate(
+            [y[i, : s[i + 1] - s[i]] for i in range(self.ndev)]
+        )
+
+
+@sparse_dataclass
+class NeighborCSR:
+    """Row-partitioned CSR with NEIGHBOR halo exchange — the halo
+    strategy done right for graph-local patterns.
+
+    The ring :class:`HaloCSR` rotates x all the way around the mesh:
+    ``ndev`` steps, EACH padded to the largest bucket.  On a banded
+    operator the self bucket holds most of the local nnz, so the padded
+    ring does ~``ndev × max_bucket`` gather work — measured 6.6x the
+    all-gather strategy at ndev=8 (``DIST_r04.json``), entirely
+    work-inflation, not communication.  This container instead ships
+    ONLY the ``k`` neighbor chunks any shard's columns actually touch
+    (the STATIC union of ring offsets across shards — 2 for a banded
+    operator, a handful for meshes/graphs with locality) and computes in
+    two padded buckets:
+
+    - **interior** entries (columns in the local chunk) — computed while
+      the ``ppermute`` transfers fly (the overlapped-halo recipe,
+      BASELINE config 5);
+    - **boundary** entries, gathered from the halo window
+      ``[halo_0 | halo_1 | …]`` once the transfers land.
+
+    Total padded gather work ≈ the all-gather strategy's (one pass over
+    the shard's nnz, split into two buckets), while per-shard traffic
+    drops from ``(ndev−1)·C`` to ``k·C`` values.  Patterns whose offset
+    union approaches ``ndev`` (all-to-all column access) gain nothing —
+    :func:`~tpu_spmv.dist.planned.predict_dist_costs` models the
+    crossover and the planner picks accordingly.
+    """
+
+    data_int: jax.Array                    # [ndev, nnzi]
+    cols_int: jax.Array                    # [ndev, nnzi] — local-chunk ids
+    rows_int: jax.Array                    # [ndev, nnzi] — local row ids
+    data_bnd: jax.Array                    # [ndev, nnzb]
+    cols_bnd: jax.Array                    # [ndev, nnzb] — halo-window ids
+    rows_bnd: jax.Array                    # [ndev, nnzb] — local row ids
+    offsets: tuple[int, ...] = static_field()   # ring deltas, != 0
+    shape: tuple[int, int] = static_field()
+    row_starts: tuple[int, ...] = static_field()
+    col_starts: tuple[int, ...] = static_field()
+    nnz: int = static_field()
+
+    @property
+    def ndev(self) -> int:
+        return int(self.data_int.shape[0])
+
+    @property
+    def rows_max(self) -> int:
+        s = np.asarray(self.row_starts)
+        return int((s[1:] - s[:-1]).max())
+
+    @property
+    def chunk_size(self) -> int:
+        s = np.asarray(self.col_starts)
+        return max(int((s[1:] - s[:-1]).max()), 1)
+
+    @property
+    def row_plan(self) -> RowPlan:
+        return RowPlan(self.row_starts, self.ndev, self.shape[0])
+
+    @property
+    def col_plan(self) -> RowPlan:
+        return RowPlan(self.col_starts, self.ndev, self.shape[1])
+
+    @staticmethod
+    def build(csr: CSR, ndev: int, *, balance: str = "nnz",
+              square: bool = False) -> "NeighborCSR":
+        indptr, cols, data, row_ids, (nrow, ncol), _ = _csr_host_arrays(csr)
+        rplan = plan_rows(indptr, ndev, balance=balance)
+        if square:
+            if nrow != ncol:
+                raise ValueError("square=True requires a square matrix")
+            cplan = rplan
+        else:
+            cplan = plan_even(ncol, ndev)
+        cstarts = np.asarray(cplan.starts)
+        owner = cplan.owner_of(cols)
+        cols_local = cols - cstarts[owner]
+        shard = rplan.owner_of(row_ids)
+        rows_local = row_ids - np.asarray(rplan.starts)[shard]
+        delta = (owner - shard) % ndev                 # 0 = interior
+        # static union of nonzero deltas across ALL shards (every shard
+        # runs the same SPMD program, so the halo set is global)
+        offs = tuple(int(d) for d in np.unique(delta) if d != 0)
+        hidx = np.zeros(ndev, dtype=np.int64)          # delta -> window slot
+        for i, d in enumerate(offs):
+            hidx[d] = i
+        C = max(cplan.max_count, 1)
+
+        def bucket(mask, window_cols):
+            sizes = np.bincount(shard[mask], minlength=ndev)
+            nb = max(int(sizes.max()), 1)
+            dd = np.zeros((ndev, nb), dtype=data.dtype)
+            cc = np.zeros((ndev, nb), dtype=np.int64)
+            rr = np.zeros((ndev, nb), dtype=np.int64)
+            order = np.argsort(shard[mask], kind="stable")
+            sh_sorted = shard[mask][order]
+            starts = np.zeros(ndev + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            slot = np.arange(len(order)) - starts[sh_sorted]
+            dd[sh_sorted, slot] = data[mask][order]
+            cc[sh_sorted, slot] = window_cols[mask][order]
+            rr[sh_sorted, slot] = rows_local[mask][order]
+            return dd, cc, rr
+
+        interior = delta == 0
+        di, ci, ri = bucket(interior, cols_local)
+        db, cb, rb = bucket(~interior, hidx[delta] * C + cols_local)
+        return NeighborCSR(
+            data_int=jnp.asarray(di, dtype=csr.data.dtype),
+            cols_int=as_index_array(ci),
+            rows_int=as_index_array(ri),
+            data_bnd=jnp.asarray(db, dtype=csr.data.dtype),
+            cols_bnd=as_index_array(cb),
+            rows_bnd=as_index_array(rb),
+            offsets=offs,
             shape=csr.shape,
             row_starts=rplan.starts,
             col_starts=cplan.starts,

@@ -38,10 +38,12 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from .sharded import ColShardedCSR, HaloCSR, ShardedCSR, ShardedVector
+from .sharded import (ColShardedCSR, HaloCSR, NeighborCSR, ShardedCSR,
+                      ShardedVector)
 
-__all__ = ["spmv_allgather", "spmv_halo", "spmv_colsplit",
-           "spmm_allgather", "spmm_halo", "place", "sharded_spec"]
+__all__ = ["spmv_allgather", "spmv_halo", "spmv_neighbor", "spmv_colsplit",
+           "spmm_allgather", "spmm_halo", "spmm_neighbor", "place",
+           "sharded_spec"]
 
 
 def sharded_spec(axis: str = "x") -> P:
@@ -122,6 +124,78 @@ def spmv_halo(mesh: Mesh, A: HaloCSR, x: ShardedVector,
         return y[None]
 
     y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.row_starts, length=A.shape[0])
+
+
+def spmv_neighbor(mesh: Mesh, A: NeighborCSR, x: ShardedVector,
+                  *, axis: str = "x") -> ShardedVector:
+    """Row-sharded SpMV with NEIGHBOR halo exchange.
+
+    Ships only the ``k = len(A.offsets)`` chunks any shard's columns
+    touch (one ``ppermute`` per static ring offset, all issued before
+    the interior compute so the transfers overlap it), then one gather +
+    segment-sum over the boundary bucket against the landed halo window.
+    Per-shard traffic ``k·C`` values vs the all-gather's ``(P−1)·C``;
+    padded gather work ~the all-gather strategy's (the ring
+    :func:`spmv_halo`'s ``P × max_bucket`` inflation is gone — see
+    :class:`~tpu_spmv.dist.sharded.NeighborCSR`)."""
+    R = A.rows_max
+    ndev = A.ndev
+    offs = A.offsets
+
+    @functools.partial(
+        _shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(A_loc: NeighborCSR, x_loc: ShardedVector):
+        xc = x_loc.chunks[0]                          # [C]
+        # issue ALL halo transfers first → they overlap the interior
+        # segment-sum below (XLA's latency-hiding scheduler)
+        halos = [
+            lax.ppermute(xc, axis,
+                         [((i + d) % ndev, i) for i in range(ndev)])
+            for d in offs
+        ]
+        prod = A_loc.data_int[0] * xc[A_loc.cols_int[0]]
+        y = _segment_sum(prod, A_loc.rows_int[0], R)
+        if halos:
+            xwin = jnp.concatenate(halos)
+            prod_b = A_loc.data_bnd[0] * xwin[A_loc.cols_bnd[0]]
+            y = y + _segment_sum(prod_b, A_loc.rows_bnd[0], R)
+        return y[None]
+
+    y = run(A, x)
+    return ShardedVector(chunks=y, starts=A.row_starts, length=A.shape[0])
+
+
+def spmm_neighbor(mesh: Mesh, A: NeighborCSR, X: ShardedVector,
+                  *, axis: str = "x") -> ShardedVector:
+    """Row-sharded SpMM with neighbor halo exchange (multi-RHS):
+    ``X.chunks`` is ``[ndev, C, nrhs]``."""
+    R = A.rows_max
+    ndev = A.ndev
+    offs = A.offsets
+
+    @functools.partial(
+        _shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(A_loc: NeighborCSR, X_loc: ShardedVector):
+        xc = X_loc.chunks[0]                          # [C, nrhs]
+        halos = [
+            lax.ppermute(xc, axis,
+                         [((i + d) % ndev, i) for i in range(ndev)])
+            for d in offs
+        ]
+        prod = A_loc.data_int[0][:, None] * xc[A_loc.cols_int[0]]
+        y = _segment_sum(prod, A_loc.rows_int[0], R)
+        if halos:
+            xwin = jnp.concatenate(halos)
+            prod_b = A_loc.data_bnd[0][:, None] * xwin[A_loc.cols_bnd[0]]
+            y = y + _segment_sum(prod_b, A_loc.rows_bnd[0], R)
+        return y[None]
+
+    y = run(A, X)
     return ShardedVector(chunks=y, starts=A.row_starts, length=A.shape[0])
 
 

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..dist import blas
-from ..dist.sharded import HaloCSR, ShardedCSR, ShardedVector
-from ..dist.spmv import spmv_allgather, spmv_halo
+from ..dist.sharded import HaloCSR, NeighborCSR, ShardedCSR, ShardedVector
+from ..dist.spmv import spmv_allgather, spmv_halo, spmv_neighbor
 
 __all__ = ["DistCGResult", "dist_cg", "dist_cg_ca"]
 
@@ -51,6 +51,8 @@ def _dist_matvec(mesh, A, b: ShardedVector, axis: str, name: str):
             f"{name} needs row partition == column partition; build the "
             "sharded matrix with square_plan=True"
         )
+    if isinstance(A, NeighborCSR):
+        return lambda v: spmv_neighbor(mesh, A, v, axis=axis)
     if isinstance(A, HaloCSR):
         return lambda v: spmv_halo(mesh, A, v, axis=axis)
     if isinstance(A, ShardedCSR):
