@@ -67,8 +67,14 @@ def default_real_dtype() -> jnp.dtype:
 
 
 def as_index_array(x) -> jax.Array:
-    """Coerce host data to an int32 device array."""
-    return jnp.asarray(np.asarray(x), dtype=INDEX_DTYPE)
+    """Coerce host data to an int32 device array.
+
+    The dtype cast happens ON HOST: ``jnp.asarray(arr, dtype=...)`` with
+    a mismatched dtype lowers an eager ``convert_element_type`` — one
+    remote XLA compile (~0.45 s through the tunnel) PER SHAPE, measured
+    as the dominant pack cold-start cost (round 5).  A pre-cast numpy
+    array makes it a pure device_put."""
+    return jnp.asarray(np.asarray(x, dtype=np.int32))
 
 
 def as_value_array(x, dtype=None) -> jax.Array:
@@ -80,4 +86,6 @@ def as_value_array(x, dtype=None) -> jax.Array:
     arr = np.asarray(x)
     if dtype is None:
         dtype = default_real_dtype()
-    return jnp.asarray(arr, dtype=dtype)
+    # cast on host (ml_dtypes covers bf16): a device-side cast would
+    # eager-compile convert_element_type per shape (see as_index_array)
+    return jnp.asarray(arr.astype(np.dtype(dtype), copy=False))

@@ -76,12 +76,13 @@ def _deep_tuple(v):
 
 
 def _deserialize(spec, z, classes: dict):
-    import jax.numpy as jnp
-
     if spec is None:
         return None
     if "__array__" in spec:
-        return jnp.asarray(z[spec["__array__"]])
+        # numpy leaf: load_matrix device_puts the WHOLE pytree in one
+        # batched call (per-array transfers pay a per-call tunnel
+        # round-trip each — the pack cold-start lesson, round 5)
+        return np.ascontiguousarray(z[spec["__array__"]])
     if "__tuple__" in spec:
         return tuple(_deserialize(s, z, classes) for s in spec["__tuple__"])
     cls = classes[spec["__class__"]]
@@ -122,10 +123,12 @@ def save_matrix(path, mat, *, extra: dict | None = None) -> None:
 
 def load_matrix(path, *, with_extra: bool = False):
     """Load a matrix saved by :func:`save_matrix`."""
+    import jax
+
     classes = _classes()
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
-        mat = _deserialize(meta["spec"], z, classes)
+        mat = jax.device_put(_deserialize(meta["spec"], z, classes))
     if with_extra:
         return mat, meta.get("extra", {})
     return mat

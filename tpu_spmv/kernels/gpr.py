@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -52,6 +53,22 @@ __all__ = ["GPCSR", "pack_gpr", "spmv_gpr", "spmm_gpr", "GPCSRChunked",
 LANES = 128
 #: width-class lane budgets (rows per sublane = 128 // W)
 CLASS_W = (8, 16, 32, 64, 128)
+
+
+def _host_coo_sorted(rows, cols, data, shape, dtype) -> COO:
+    """Row-major-sorted COO with NUMPY leaves (the pack's final batched
+    ``jax.device_put`` uploads it with everything else — see pack_gpr).
+    Mirrors ``COO.from_arrays`` semantics without the per-leaf device
+    transfers."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    data = np.asarray(data)
+    if rows.size:
+        order = np.lexsort((cols, rows))
+        rows, cols, data = rows[order], cols[order], data[order]
+    return COO(row=rows.astype(np.int32), col=cols.astype(np.int32),
+               data=data.astype(np.dtype(dtype)),
+               shape=(int(shape[0]), int(shape[1])), rows_sorted=True)
 
 
 def _acc_dtype(dtype) -> jnp.dtype:
@@ -177,7 +194,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
              single_level_only: bool = False,
              host_out: dict | None = None,
              defer_s1: bool = False,
-             force_rp: int | None = None) -> GPCSR:
+             force_rp: int | None = None,
+             device: bool = True) -> GPCSR:
     """Pack a scipy matrix (or host COO) for the GPR pipeline.
 
     ``targets`` forces the pack's static layout to given sizes so that
@@ -307,7 +325,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
             side_gpr = pack_gpr(
                 sp.csr_matrix((t_data, (t_rows, t_cols)),
                               shape=(nrow, ncol)),
-                dtype=dtype, _depth=_depth + 1,
+                dtype=dtype, _depth=_depth + 1, device=False,
             )
             t_rows = t_cols = np.zeros(0, dtype=np.int64)
             t_data = np.zeros(0, dtype=dtype)
@@ -322,7 +340,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         t_rows = np.pad(t_rows, (0, pad))
         t_cols = np.pad(t_cols, (0, pad))
         t_data = np.pad(t_data, (0, pad))     # zero values: inert
-    side = COO.from_arrays(t_rows, t_cols, t_data, (nrow, ncol), dtype=dtype)
+    side = _host_coo_sorted(t_rows, t_cols, t_data, (nrow, ncol), dtype)
     m_rows, m_cols, m_data, m_off = (row_ids[main], cols[main], data[main],
                                      offs[main])
     nm = len(m_rows)
@@ -415,7 +433,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                        jcap_of_dst=jcap_of_dst)
     if targets is not None:
         plan = _perm.plan_permutation(perm, force_r_p=targets["rp"],
-                                      host_planes=hp)
+                                      host_planes=hp, device=False)
     elif force_rp is not None:
         # pin the stage-1 tile fill (rp128 units) so this pack can join a
         # chunk-fold with siblings (the fold's ONE concatenated stage-1
@@ -432,7 +450,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                     hp = {}
                     plan = _perm.plan_permutation(
                         perm, host_planes=hp, qcap=qc, v3_meta=v3_meta,
-                        v3_strict=True, force_r_p=force_rp * LANES)
+                        v3_strict=True, force_r_p=force_rp * LANES,
+                        device=False)
                     break
                 except _perm.V3Infeasible:
                     plan = None
@@ -445,7 +464,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         if plan is None:
             hp = {}
             plan = _perm.plan_permutation(perm, force_r_p=force_rp * LANES,
-                                          host_planes=hp)
+                                          host_planes=hp, device=False)
     else:
         plan = None
         if v3_meta is not None:
@@ -457,7 +476,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                     hp = {}
                     plan = _perm.plan_permutation(
                         perm, host_planes=hp, qcap=qc,
-                        v3_meta=v3_meta, v3_strict=True)
+                        v3_meta=v3_meta, v3_strict=True, device=False)
                     break
                 except _perm.V3Infeasible:
                     plan = None
@@ -470,7 +489,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
             # need two-level routing — the adaptive chunker splits instead
             hp = {}
             plan = _perm.plan_permutation_auto(
-                perm, host_planes=hp, two_level=not single_level_only)
+                perm, host_planes=hp, two_level=not single_level_only,
+                device=False)
 
     # ---- column blocking for ncol beyond one VMEM-resident x2d ----------
     col_blocks: tuple = ()
@@ -493,7 +513,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
             gl = np.zeros((nb8, LANES), dtype=np.int8)
             gl[: hi - lo] = glidx[lo:hi]
             cb.append((lo, hi, bounds[b], bounds[b + 1]))
-            gb.append((jnp.asarray(gs), jnp.asarray(gl)))
+            gb.append((gs, gl))        # numpy: the final batched
+            #                              device_put uploads gblocks too
         col_blocks = tuple(cb)
         gblocks = tuple(gb)
     # single-level plans (single-block only): pad the gather layout to
@@ -549,7 +570,10 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
                 a2=np.asarray(hp["a2"], dtype=np.int8),
                 a3=np.asarray(hp["a3"], dtype=np.int8),
                 rp128=int(rp128), T=int(plan.ntiles))
-        plan = dataclasses.replace(plan, a1=jnp.zeros((1, 1, 1), jnp.int8))
+        # device_put of numpy zeros, NOT eager jnp.zeros: the latter
+        # compiles a broadcast_in_dim per shape (~0.45 s each through
+        # the remote-compile tunnel — measured pack cold-start, round 5)
+        plan = dataclasses.replace(plan, a1=np.zeros((1, 1, 1), np.int8))
         if defer_s1 and host_out is not None:
             # stage-1 planes live only in host_out["s1"] for now; the
             # a2 stub keeps its tile axis so plan.ntiles stays correct
@@ -557,8 +581,8 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
             glidx = np.zeros((0, LANES), dtype=np.int8)
             plan = dataclasses.replace(
                 plan,
-                a2=jnp.zeros((plan.ntiles, 1, 1), jnp.int8),
-                a3=jnp.zeros((1, 1, 1), jnp.int8))
+                a2=np.zeros((plan.ntiles, 1, 1), np.int8),
+                a3=np.zeros((1, 1, 1), np.int8))
 
     # ---- y reordering (class-sorted -> natural) --------------------------
     yplan = None
@@ -588,7 +612,7 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         miss = miss[np.argsort(ginv[miss], kind="stable")]
         rows_j[miss] = free_j                      # counts match per group
         new_pos = cstart[cls] + vrl * k_all + rows_j
-        yplan = _perm.plan_permutation_auto(new_pos)
+        yplan = _perm.plan_permutation_auto(new_pos, device=False)
         if host_out is not None:
             host_out["y_pos"] = new_pos
     elif padded_y:
@@ -603,11 +627,12 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         perm_y = np.full(cap_total, -1, dtype=np.int64)
         padded_pos = pbase[cls] + (sorted_pos - cstart[cls])
         perm_y[:nrow] = padded_pos            # outputs past nrow: don't-care
-        yplan = (_perm.plan_permutation(perm_y, force_r_p=targets["rp"])
+        yplan = (_perm.plan_permutation(perm_y, force_r_p=targets["rp"],
+                                        device=False)
                  if targets is not None
-                 else _perm.plan_permutation_auto(perm_y))
+                 else _perm.plan_permutation_auto(perm_y, device=False))
     elif not np.array_equal(row_order, np.arange(nrow)):
-        yplan = _perm.plan_permutation_auto(sorted_pos)
+        yplan = _perm.plan_permutation_auto(sorted_pos, device=False)
         if host_out is not None:
             host_out["y_pos"] = sorted_pos
     if host_out is not None:
@@ -616,11 +641,11 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         host_out["nrow_internal"] = int(nrow)
         host_out["nrow_logical"] = int(nrow_logical)
 
-    return GPCSR(
-        gseg=jnp.asarray(gseg),
-        glidx=jnp.asarray(glidx),
+    out = GPCSR(
+        gseg=np.asarray(gseg, dtype=np.int32),
+        glidx=np.asarray(glidx),
         plan=plan,
-        vals=jnp.asarray(vals_store),
+        vals=np.asarray(vals_store),
         yplan=yplan,
         side=side,
         side_gpr=side_gpr,
@@ -631,9 +656,16 @@ def pack_gpr(mat, *, dtype=np.float32, _depth: int = 0,
         col_blocks=col_blocks,
         fused=fused,
         fused_v3=fused_v3,
-        hub_owner=(jnp.asarray(hub_owner) if len(hub_owner) else None),
+        hub_owner=(np.asarray(hub_owner, dtype=np.int32)
+                   if len(hub_owner) else None),
         nv=int(len(hub_owner)),
     )
+    # ONE batched device_put for the whole pack pytree (plan planes,
+    # vals, gather operands, side COO, nested side_gpr): per-array
+    # transfers pay a per-call tunnel round-trip each — measured as half
+    # the pack cold-start (round 5).  device=False defers entirely
+    # (pack_gpr_chunked uploads all chunks + fold in one call).
+    return jax.device_put(out) if device else out
 
 
 def _gather_kernel(gseg_ref, glidx_ref, x_ref, o_ref, *, tps):
@@ -1363,7 +1395,8 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
             ho: dict = {}
             try:
                 p = pack_gpr(csr[lo:hi], dtype=dtype, host_out=ho,
-                             defer_s1=True, force_rp=rp_hint)
+                             defer_s1=True, force_rp=rp_hint,
+                             device=False)
                 if v3_retry:
                     return v3_split_retry(lo, hi, p, ho, rp_hint)
                 return [(lo, hi, p, ho)]
@@ -1378,7 +1411,7 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
             # either concatenated into the fold or rehydrated per chunk.
             p = pack_gpr(csr[lo:hi], dtype=dtype,
                          single_level_only=not last, host_out=ho,
-                         defer_s1=True)
+                         defer_s1=True, device=False)
         except ValueError:
             if last:
                 raise
@@ -1432,11 +1465,33 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
     if len(cuts) > 2:
         import concurrent.futures as _cf
 
-        with _cf.ThreadPoolExecutor(max_workers=3) as ex:
-            futs = [ex.submit(pack_block, lo_i, hi_i, rp_hint=rp_hint)
+        # one ROUTING worker per core (the main thread only blocks on
+        # results after block 0; 3 -> 4 measured ~0.4 s off the 5M
+        # pack), plus ONE dedicated uploader thread: device_put of a
+        # finished block's pack overlaps COMPLETELY with the other
+        # blocks' GIL-holding numpy routing (measured: an 80 MB fresh
+        # transfer hides to zero under 2 s of fancy indexing — round 5).
+        # Uploads must NOT run in the routing workers themselves: that
+        # steals a routing slot and serializes (measured 1.5x slower).
+        nw = min(max((os.cpu_count() or 4), 1), 4)
+        with _cf.ThreadPoolExecutor(max_workers=nw) as ex, \
+                _cf.ThreadPoolExecutor(max_workers=1) as up:
+
+            def ship(entries):
+                return [(lo_, hi_, up.submit(jax.device_put, p_), ho_)
+                        for (lo_, hi_, p_, ho_) in entries]
+
+            staged = ship(blocks)
+            blocks = []
+            futs = [ex.submit(
+                        lambda a, b: ship(pack_block(a, b,
+                                                     rp_hint=rp_hint)),
+                        lo_i, hi_i)
                     for (lo_i, hi_i) in cuts[1:]]
             for f in futs:
-                blocks.extend(f.result())
+                staged.extend(f.result())
+            blocks = [(lo_, hi_, pf.result(), ho_)
+                      for (lo_, hi_, pf, ho_) in staged]
     else:
         for (lo_i, hi_i) in cuts[1:]:
             blocks.extend(pack_block(lo_i, hi_i, rp_hint=rp_hint))
@@ -1448,13 +1503,16 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
         chunks = [_rehydrate_s1(p, ho) for (_, _, p, ho) in blocks]
     else:
         chunks = [p for (_, _, p, _) in blocks]
-    return GPCSRChunked(
+    out = GPCSRChunked(
         chunks=tuple(chunks),
         shape=(int(nrow), int(ncol)),
         nnz=nnz,
         row_splits=tuple(splits),
         fold=fold,
     )
+    # ONE batched device_put for every chunk + the fold (round 5: the
+    # 5M-nnz power-law pack paid ~2 s in ~340 per-array transfers)
+    return jax.device_put(out)
 
 
 def _rehydrate_s1(c: GPCSR, ho: dict) -> GPCSR:
@@ -1464,9 +1522,9 @@ def _rehydrate_s1(c: GPCSR, ho: dict) -> GPCSR:
         return c
     s1 = ho["s1"]
     return dataclasses.replace(
-        c, gseg=jnp.asarray(s1["gseg"]), glidx=jnp.asarray(s1["glidx"]),
-        plan=dataclasses.replace(c.plan, a2=jnp.asarray(s1["a2"]),
-                                 a3=jnp.asarray(s1["a3"])))
+        c, gseg=np.asarray(s1["gseg"]), glidx=np.asarray(s1["glidx"]),
+        plan=dataclasses.replace(c.plan, a2=np.asarray(s1["a2"]),
+                                 a3=np.asarray(s1["a3"])))
 
 
 def _build_chunk_fold(blocks, nrow: int):
@@ -1507,15 +1565,17 @@ def _build_chunk_fold(blocks, nrow: int):
             owners.append(h["hub_owner"].astype(np.int32) + lo)
             vbase += nv_c
     yplan = (None if np.array_equal(gperm, np.arange(len(gperm)))
-             else _perm.plan_permutation_auto(gperm))
+             else _perm.plan_permutation_auto(gperm, device=False))
 
+    # numpy leaves: the chunked pack's single device_put uploads the fold
     return ChunkFold(
-        gseg=jnp.asarray(np.concatenate([h["s1"]["gseg"] for h in hos])),
-        glidx=jnp.asarray(np.concatenate([h["s1"]["glidx"] for h in hos])),
-        a2=jnp.asarray(np.concatenate([h["s1"]["a2"] for h in hos])),
-        a3=jnp.asarray(np.concatenate([h["s1"]["a3"] for h in hos])),
+        gseg=np.concatenate([h["s1"]["gseg"] for h in hos]),
+        glidx=np.concatenate([h["s1"]["glidx"] for h in hos]),
+        a2=np.concatenate([h["s1"]["a2"] for h in hos]),
+        a3=np.concatenate([h["s1"]["a3"] for h in hos]),
         yplan=yplan,
-        hub_owner=(jnp.asarray(np.concatenate(owners)) if owners else None),
+        hub_owner=(np.concatenate(owners).astype(np.int32)
+                   if owners else None),
         rp128=int(rp128),
         tile_counts=tuple(int(h["s1"]["T"]) for h in hos),
         sorted_lens=tuple(int(n) for n in nint),

@@ -324,7 +324,8 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
                      host_planes: dict | None = None,
                      qcap: int = Q,
                      v3_meta: dict | None = None,
-                     v3_strict: bool = False) -> PermutationPlan:
+                     v3_strict: bool = False,
+                     device: bool = True) -> PermutationPlan:
     """Route an arbitrary permutation of ``n`` elements.
 
     Elements are laid out ``slack``-padded: each tile carries
@@ -714,15 +715,20 @@ def plan_permutation(perm: np.ndarray, *, slack: float = 0.15,
                 r2=r2[row_id_eff], lane=lane)
     # index planes hold lane/sublane/color ids < 128 → int8 halves their
     # HBM traffic (they are the bulk of an engine pass's bytes); kernels
-    # upcast per tile in VMEM
-    as_i8 = lambda g: jnp.asarray(g.astype(np.int8))
-    return PermutationPlan(
-        a1=as_i8(a1), a2=as_i8(a2), a3=as_i8(a3),
-        rowsrc=jnp.asarray(rowsrc.astype(np.int32)),
-        b2=as_i8(b2), b3=as_i8(b3),
+    # upcast per tile in VMEM.  ONE batched device_put for all six
+    # planes (per-array transfers pay a ~6-15 ms tunnel round-trip EACH
+    # on first contact — measured pack cold-start, round 5); callers
+    # that defer the upload entirely (gpr's chunked pack device_puts
+    # the whole GPCSRChunked pytree once) pass device=False and get
+    # numpy leaves.
+    out = PermutationPlan(
+        a1=a1.astype(np.int8), a2=a2.astype(np.int8), a3=a3.astype(np.int8),
+        rowsrc=rowsrc.astype(np.int32),
+        b2=b2.astype(np.int8), b3=b3.astype(np.int8),
         n=int(n),
         real_per_tile=int(r_p),
     )
+    return jax.device_put(out) if device else out
 
 
 @sparse_dataclass
@@ -825,7 +831,8 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
                           two_level: bool = True,
                           qcap: int = Q,
                           v3_meta: dict | None = None,
-                          v3_strict: bool = False):
+                          v3_strict: bool = False,
+                          device: bool = True):
     """Single-level when feasible (one engine pass), two-level beyond the
     ~900k cap.  Returns ``PermutationPlan`` or ``TwoLevelPlan``; both are
     accepted by :func:`apply_permutation`.  ``host_planes`` is filled
@@ -852,7 +859,7 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
     try:
         return plan_permutation(perm, slack=slack, host_planes=host_planes,
                                 qcap=qcap, v3_meta=v3_meta,
-                                v3_strict=v3_strict)
+                                v3_strict=v3_strict, device=device)
     except ValueError:
         if not two_level:
             raise

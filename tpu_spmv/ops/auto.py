@@ -114,13 +114,18 @@ def analyze(mat) -> PatternStats:
     nnz = int(np.asarray(coo.data).shape[0])
     if nnz == 0:
         return PatternStats(nrow, ncol, 0, 0, 0, 0, 0.0, 0.0, 0.0)
-    ndiags = len(np.unique(col - row))
+    # diagonal counts via bincount over the (nrow+ncol)-sized offset
+    # range — sort-free (np.unique sorts all nnz; 2-3x slower at 5M)
+    ndiags = int((np.bincount(col - row + nrow - 1,
+                              minlength=nrow + ncol - 1) > 0).sum())
     counts = np.bincount(row, minlength=nrow)
     max_row = int(counts.max())
     nbcol = -(-ncol // 8)
     brow, bcol = row // 8, col // 8
     blocks = len(np.unique(brow * nbcol + bcol))
-    nblockdiags = len(np.unique(bcol - brow))
+    nblockdiags = int((np.bincount(bcol - brow + (-(-nrow // 8)) - 1,
+                                   minlength=(-(-nrow // 8)) + nbcol - 1)
+                       > 0).sum())
     return PatternStats(
         nrow=nrow, ncol=ncol, nnz=nnz, ndiags=ndiags,
         nblockdiags_8=nblockdiags,
