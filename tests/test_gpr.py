@@ -370,3 +370,22 @@ def test_gpr_v3_element_repair_widens_envelope():
     ref = mat @ np.asarray(x, np.float64)
     rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
     assert rel < 2e-5, rel
+
+
+def test_gpr_f64_full_precision(rng):
+    """float64 packs accumulate in f64 (ADVICE r4: the mask-dot reduce
+    used to force a f32 accumulator, silently degrading f64 GPR to f32
+    precision).  Gate: the f64 CPU-oracle BASELINE bar, 1e-10."""
+    import numpy as np
+
+    from tpu_spmv.kernels import gpr
+    from tpu_spmv.utils import random_sparse
+
+    m = random_sparse(3000, 3000, 0.002, seed=3, dtype=np.float64).tocsr()
+    gp = gpr.pack_gpr(m, dtype=np.float64)
+    assert gp.vals.dtype == jnp.float64
+    x = jnp.asarray(rng.random(3000))
+    y = np.asarray(gpr.spmv_gpr(gp, x, interpret=True))
+    ref = m @ np.asarray(x)
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-13, rel              # f32 accumulation would be ~1e-7

@@ -395,6 +395,14 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform != "cpu"
+    if (use_pallas and dtype is not None
+            and np.dtype(dtype).itemsize >= 8
+            and jax.devices()[0].platform != "cpu"):
+        # Mosaic has no f64 lowering: on chip, double-precision runs ride
+        # the (software-emulated) XLA tier; CPU oracles keep the Pallas
+        # interpret path (full f64 accumulation) — docs/DESIGN.md f64
+        # support table
+        use_pallas = False
     if use_pallas:
         from ..kernels import ell_pallas
 
