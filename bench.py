@@ -539,15 +539,19 @@ def bench_cg() -> dict:
             out["resolved"] = False
         return out
 
+    log("bench: cg to_tol leg: plain @1024^2...")
     plain_t = time_solve(None, b)
+    log(f"bench:   plain done {plain_t}")
     mg = mg_preconditioner((g, g))
     mg_t = time_solve(mg, b, cap=200)
+    log(f"bench:   mgpcg done {mg_t}")
     # matvec-closure form: the CSR auto-path would run the XLA gather
     # SpMV (~40 ms at this nnz) inside every application
     cheb = chebyshev_preconditioner(
         lambda v: spmv(A, v), degree=4,
         dinv=jnp.full(n, 0.25, jnp.float32), n=n)
     cheb_t = time_solve(cheb, b)
+    log(f"bench:   cheb4 done {cheb_t}")
     sp_host = None
     try:
         from tpu_spmv.solvers import symgs_preconditioner
@@ -582,7 +586,9 @@ def bench_cg() -> dict:
     g2 = 2048
     A2 = build_poisson_dia_device(g2, jnp.float32)
     b2 = jax.random.uniform(jax.random.PRNGKey(5), (g2 * g2,), jnp.float32)
+    log("bench: cg to_tol leg: plain @2048^2...")
     plain2_t = time_solve(None, b2, cap=8000, Aop=A2)
+    log(f"bench:   plain2 done {plain2_t}")
     mg2_t = time_solve(mg_preconditioner((g2, g2)), b2, cap=200, Aop=A2)
     speedup2 = (plain2_t["wall_ms"] / mg2_t["wall_ms"]
                 if mg2_t.get("wall_ms") and plain2_t.get("wall_ms")

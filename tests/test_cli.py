@@ -187,3 +187,21 @@ def test_cli_solve_sor(capsys):
             if l.startswith("{")]
     res = [r for r in recs if r.get("solver") == "sor"]
     assert res and res[0]["converged"] and res[0]["rel_residual"] < 1e-7
+
+
+def test_cli_dist_strategy_forced(capsys):
+    """--dist-strategy forces the distributed strategy (r5: the cost
+    model otherwise picks); csr_neighbor verifies on the virtual mesh."""
+    from tpu_spmv.cli import main
+
+    rc = main(["--synthetic", "random:600,600,40", "--formats", "csr",
+               "--iters", "3", "--dist", "8",
+               "--dist-strategy", "csr_neighbor", "--json"])
+    assert rc == 0
+    import json as _json
+
+    recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    dist_recs = [r for r in recs if r.get("mode") == "DIST8"]
+    assert dist_recs and dist_recs[0]["strategy"] == "csr_neighbor"
+    assert dist_recs[0]["rel_err"] < 2e-5

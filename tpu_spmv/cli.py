@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also benchmark the planned distributed SpMV over "
                         "an NDEV-device mesh (requires NDEV <= available "
                         "devices; square matrices only)")
+    p.add_argument("--dist-strategy", default=None,
+                   choices=["dia", "dia_stream", "pdia_stream", "bdia",
+                            "gpr", "csr_halo", "csr_neighbor",
+                            "csr_allgather"],
+                   help="force the distributed strategy (default: the "
+                        "planner's cost-model pick)")
     p.add_argument("--cache", metavar="DIR", default=None,
                    help="with --auto: cache the packed/converted matrix in "
                         "DIR so a second run on the same input skips "
@@ -320,7 +326,8 @@ def _run_benchmarks(args, coo, host_mat, x, formats, mode, dtype, rng) -> int:
         mesh = make_mesh(args.dist)
         line = bench_dist_spmv(host_mat, mesh, dtype=dtype,
                                iters=args.iters, check=not args.no_check,
-                               quiet=args.json)
+                               quiet=args.json,
+                               strategy=args.dist_strategy)
         if args.json:
             results.append(line)
 

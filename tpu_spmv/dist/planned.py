@@ -1001,7 +1001,7 @@ def plan_dist_spmv(host_mat, ndev: int, *, dtype=None,
 
 def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
                     check: bool = True, quiet: bool = False,
-                    axis: str = "x") -> dict:
+                    axis: str = "x", strategy: str | None = None) -> dict:
     """Benchmark the planned distributed SpMV over ``mesh`` with the
     chained protocol (the ``dist_bench`` the round-1 review asked for).
 
@@ -1013,7 +1013,7 @@ def bench_dist_spmv(host_mat, mesh: Mesh, *, dtype=None, iters: int = 50,
     from .spmv import place
 
     ndev = int(np.prod(list(mesh.shape.values())))
-    plan = plan_dist_spmv(host_mat, ndev, dtype=dtype)
+    plan = plan_dist_spmv(host_mat, ndev, dtype=dtype, strategy=strategy)
     nrow, ncol = plan.matrix.shape
     if nrow != ncol:
         raise ValueError("bench_dist_spmv requires a square matrix")
