@@ -87,7 +87,8 @@ def main(argv=None) -> int:
         x = np.random.default_rng(0).random(n).astype(np.float32)
         scale = np.float32(1.0 / abs(mat).sum(axis=1).max())
         costs = dist.predict_dist_costs(mat.tocsr().astype(np.float32),
-                                        ndev, square=True)
+                                        ndev, square=True,
+                                        balance=args.balance)
         out = []
         for strat in strategies:
             if strat == "halo":

@@ -74,7 +74,7 @@ def as_index_array(x) -> jax.Array:
     remote XLA compile (~0.45 s through the tunnel) PER SHAPE, measured
     as the dominant pack cold-start cost (round 5).  A pre-cast numpy
     array makes it a pure device_put."""
-    return jnp.asarray(np.asarray(x, dtype=np.int32))
+    return jnp.asarray(np.asarray(x, dtype=np.dtype(INDEX_DTYPE)))
 
 
 def as_value_array(x, dtype=None) -> jax.Array:

@@ -1419,7 +1419,8 @@ def pack_gpr_chunked(mat, *, dtype=np.float32,
             if mid >= hi:
                 ho = {}
                 return [(lo, hi, pack_gpr(csr[lo:hi], dtype=dtype,
-                                          host_out=ho, defer_s1=True), ho)]
+                                          host_out=ho, defer_s1=True,
+                                          device=False), ho)]
             return (pack_block(lo, mid, depth + 1, rp_hint)
                     + pack_block(mid, hi, depth + 1, rp_hint))
         if v3_retry:

@@ -771,7 +771,8 @@ def _rows_feasible(p: np.ndarray, idx: np.ndarray, r_p: int, T: int) -> bool:
     return send.max() <= Q and recv.max() <= Q
 
 
-def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
+def plan_permutation_two_level(perm: np.ndarray, *,
+                               device: bool = True) -> TwoLevelPlan:
     """Budget arithmetic (rows per tile, cap 128; floor = r_p/128):
 
     - pass A's flows are contiguous by construction → ~2 partial rows per
@@ -820,8 +821,10 @@ def plan_permutation_two_level(perm: np.ndarray) -> TwoLevelPlan:
                 f"two-level routing infeasible at slack {slack} for n={n}"
             )
             continue
-        plan_a = plan_permutation(perm_a, slack=slack, force_r_p=r_p)
-        plan_b = plan_permutation(perm_b, slack=slack, force_r_p=r_p)
+        plan_a = plan_permutation(perm_a, slack=slack, force_r_p=r_p,
+                                  device=device)
+        plan_b = plan_permutation(perm_b, slack=slack, force_r_p=r_p,
+                                  device=device)
         return TwoLevelPlan(plan_a=plan_a, plan_b=plan_b, n=n)
     raise last_err
 
@@ -855,7 +858,7 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
             host_planes["v3"] = False
         # single-level is infeasible for random flows well before this;
         # skip the (expensive) downward feasibility search entirely
-        return plan_permutation_two_level(perm)
+        return plan_permutation_two_level(perm, device=device)
     try:
         return plan_permutation(perm, slack=slack, host_planes=host_planes,
                                 qcap=qcap, v3_meta=v3_meta,
@@ -864,7 +867,7 @@ def plan_permutation_auto(perm: np.ndarray, *, slack: float = 0.15,
         if not two_level:
             raise
         # two-level needs its own (larger) slack budget — see its docstring
-        return plan_permutation_two_level(perm)
+        return plan_permutation_two_level(perm, device=device)
 
 
 def _gtgtg(z, g1, g2, g3):

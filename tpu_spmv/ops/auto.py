@@ -395,8 +395,18 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform != "cpu"
-    if (use_pallas and dtype is not None
-            and np.dtype(dtype).itemsize >= 8
+    # effective compute dtype: an explicit dtype wins; otherwise the
+    # matrix's own data dtype carries through the packs (review r5: the
+    # guard below used to fire only on explicit dtype=np.float64,
+    # letting a dtype=None f64 matrix reach Mosaic — or be silently
+    # downcast by the GPR branch's `dtype or np.float32`)
+    if dtype is not None:
+        eff_dtype = np.dtype(dtype)
+    else:
+        data = getattr(mat, "data", None)
+        eff_dtype = (np.dtype(data.dtype) if data is not None
+                     else np.dtype(np.float32))
+    if (use_pallas and eff_dtype.itemsize >= 8
             and jax.devices()[0].platform != "cpu"):
         # Mosaic has no f64 lowering: on chip, double-precision runs ride
         # the (software-emulated) XLA tier; CPU oracles keep the Pallas
@@ -456,10 +466,10 @@ def plan_spmv(mat, *, use_pallas: bool | None = None,
                             (np.asarray(host.data),
                              (np.asarray(host.row), np.asarray(host.col))),
                             shape=host.shape)
-                    gp = _gpr.pack_gpr_chunked(host, dtype=dtype or np.float32,
+                    gp = _gpr.pack_gpr_chunked(host, dtype=eff_dtype,
                                                chunk_nnz=_gpr.CHUNK_NNZ)
                 else:
-                    gp = _gpr.pack_gpr(host, dtype=dtype or np.float32)
+                    gp = _gpr.pack_gpr(host, dtype=eff_dtype)
                 return SpmvPlan(gp, "gpr", stats,
                                 _kernel_for_strategy("gpr"))
     if stats.block_fill_8 >= 0.25:

@@ -8,9 +8,11 @@ recurrence tracks the TRUE residual.
 
 TPU-first shape: the Krylov basis lives as ONE stacked ``[m+1, ndev, C]``
 array of ShardedVector chunks (static shapes; row j of the stack IS the
-j-th basis vector's sharded chunks), so modified Gram–Schmidt against the
-whole basis is a single masked contraction whose cross-shard reduction
-GSPMD lowers to one fused all-reduce per Arnoldi step.  Everything runs
+j-th basis vector's sharded chunks), so one-shot classical Gram–Schmidt
+against the whole basis is a single masked contraction whose cross-shard
+reduction GSPMD lowers to one fused all-reduce per Arnoldi step (CGS
+trades some f32 orthogonality for that single barrier; the cycle exit
+reports the TRUE residual, same as the serial solver).  Everything runs
 as one jitted SPMD program: a ``lax.while_loop`` over restart cycles with
 a ``lax.fori_loop`` Arnoldi inner loop.
 """
@@ -69,11 +71,11 @@ def dist_gmres(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
             g0 = jnp.zeros((m + 1,), dt).at[0].set(beta)
 
             def arnoldi(j, st):
-                V, H, cs, sn, g, alive = st
+                V, H, cs, sn, g, alive, cnt = st
                 w = matvec(M(sv(V[j]))).chunks
-                # modified Gram–Schmidt against the filled basis rows;
-                # the [m+1]-vector of dots reduces across shards in one
-                # fused all-reduce (the stack trick of blas.dot_stack)
+                # one-shot classical Gram–Schmidt against the filled
+                # basis rows; the [m+1]-vector of dots reduces across
+                # shards in one fused all-reduce (the dot_stack trick)
                 idx = jnp.arange(m + 1)
                 mask = (idx <= j).astype(dt)
                 h = (V * w[None]).sum(
@@ -102,11 +104,13 @@ def dist_gmres(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
                 sn = jnp.where(alive, sn.at[j].set(s), sn)
                 g = jnp.where(alive, g, st[4])
                 V = jnp.where(alive, V, st[0])
+                cnt = cnt + alive.astype(cnt.dtype)   # real inner steps
                 alive = alive & (jnp.abs(g[j + 1]) > limit) & (hnext > eps)
-                return (V, H, cs, sn, g, alive)
+                return (V, H, cs, sn, g, alive, cnt)
 
-            V, H, cs, sn, g, _ = lax.fori_loop(
-                0, m, arnoldi, (V0, H0, cs0, sn0, g0, beta > limit))
+            V, H, cs, sn, g, _, cnt = lax.fori_loop(
+                0, m, arnoldi, (V0, H0, cs0, sn0, g0, beta > limit,
+                                jnp.zeros((), jnp.int32)))
             # triangular solve on the rotated Hessenberg (see the serial
             # krylov.gmres for the masked-column reasoning)
             diag = jnp.abs(jnp.diagonal(H[:m, :]))
@@ -117,7 +121,8 @@ def dist_gmres(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
             x = x + M(sv(jnp.tensordot(y, V[:m], axes=1))).chunks
             rnorm = jnp.where(jnp.any(jnp.isnan(g)),
                               jnp.array(jnp.inf, dt), jnp.abs(g[m]))
-            return (x, rnorm, it + m, beta)
+            # steps actually taken, not the cycle length
+            return (x, rnorm, it + cnt, beta)
 
         def cond(carry):
             _, rnorm, it, prev = carry
@@ -125,7 +130,7 @@ def dist_gmres(mesh, A, b: ShardedVector, *, tol: float = 1e-8,
 
         r0 = bc - matvec(sv(jnp.zeros_like(bc))).chunks
         carry = (jnp.zeros_like(bc), jnp.sqrt(jnp.vdot(r0, r0)).astype(dt),
-                 0, jnp.array(jnp.inf, dt))
+                 jnp.zeros((), jnp.int32), jnp.array(jnp.inf, dt))
         x, rnorm, it, _ = lax.while_loop(cond, cycle, carry)
         # report the true residual (the Givens estimate drifts in f32)
         rtrue = bc - matvec(sv(x)).chunks

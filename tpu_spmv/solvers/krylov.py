@@ -143,9 +143,12 @@ def gmres(A, b, *, x0=None, tol: float = 1e-8, restart: int = 30,
             g0 = jnp.zeros((m + 1,), dt).at[0].set(beta)
 
             def arnoldi(j, st):
-                V, H, cs, sn, g, alive = st
+                V, H, cs, sn, g, alive, cnt = st
                 w = matvec(M(V[j]))
-                # modified Gram-Schmidt against the filled basis rows
+                # one-shot CLASSICAL Gram-Schmidt against the filled
+                # basis rows (vectorizes as a single masked contraction;
+                # CGS loses orthogonality faster than MGS in f32, which
+                # is why the cycle exit re-checks the TRUE residual)
                 idx = jnp.arange(m + 1)
                 mask = (idx <= j).astype(dt)
                 h = (V * w[None, :]).sum(axis=1) * mask       # [m+1]
@@ -172,11 +175,13 @@ def gmres(A, b, *, x0=None, tol: float = 1e-8, restart: int = 30,
                 sn = jnp.where(alive, sn.at[j].set(s), sn)
                 g = jnp.where(alive, g, st[4])
                 V = jnp.where(alive, V, st[0])
+                cnt = cnt + alive.astype(cnt.dtype)   # real inner steps
                 alive = alive & (jnp.abs(g[j + 1]) > limit) & (hnext > eps)
-                return (V, H, cs, sn, g, alive)
+                return (V, H, cs, sn, g, alive, cnt)
 
-            V, H, cs, sn, g, _ = lax.fori_loop(
-                0, m, arnoldi, (V0, H0, cs0, sn0, g0, beta > limit))
+            V, H, cs, sn, g, _, cnt = lax.fori_loop(
+                0, m, arnoldi, (V0, H0, cs0, sn0, g0, beta > limit,
+                                jnp.zeros((), jnp.int32)))
             # solve R y = g on the rotated Hessenberg's top m x m block.
             # Columns never filled (converged/broke down mid-cycle) have a
             # zero diagonal: give them a unit diagonal and a zero rhs so
@@ -190,15 +195,17 @@ def gmres(A, b, *, x0=None, tol: float = 1e-8, restart: int = 30,
             x = x + M((y[:, None] * V[:m]).sum(axis=0))
             rnorm = jnp.where(jnp.any(jnp.isnan(g)),
                               jnp.array(jnp.inf, dt), jnp.abs(g[m]))
-            return (x, rnorm, it + m, beta)
+            # count the steps actually TAKEN (masked no-op steps after
+            # convergence/breakdown don't inflate `iterations`)
+            return (x, rnorm, it + cnt, beta)
 
         def cond(carry):
             _, rnorm, it, prev = carry
             return (rnorm > limit) & (it < maxiter) & (rnorm < prev)
 
         x0_, r0 = x0, b - matvec(x0)
-        carry = (x0_, jnp.sqrt(jnp.vdot(r0, r0)).astype(dt), 0,
-                 jnp.array(jnp.inf, dt))
+        carry = (x0_, jnp.sqrt(jnp.vdot(r0, r0)).astype(dt),
+                 jnp.zeros((), jnp.int32), jnp.array(jnp.inf, dt))
         x, rnorm, it, _ = lax.while_loop(cond, cycle, carry)
         # report the true residual (the Givens estimate drifts in f32)
         rtrue = b - matvec(x)
