@@ -469,7 +469,8 @@ def bench_cg() -> dict:
     # compiled while_loop via cg_runner (jit-cached across the min-of-3
     # repeats).  MG-PCG is the headline: geometric multigrid collapses
     # the O(g) iteration count to O(1) (solvers/multigrid.py).
-    from tpu_spmv.solvers import (cg_runner, chebyshev_preconditioner,
+    from tpu_spmv.solvers import (cg_runner, cg_runner_k,
+                                  chebyshev_preconditioner,
                                   mg_preconditioner)
 
     # the tunnel's per-call dispatch + scalar-readback floor is ~25 ms (a
@@ -506,7 +507,10 @@ def bench_cg() -> dict:
         # latency blanket: compute OVERLAPS the tunnel round-trip, so a
         # pair of short runs can difference to ~0 (a 440-iteration CG
         # measured 1.6 us/iter that way — impossible vs its ~40 MB/iter
-        # traffic).  Same guard as time_chained.
+        # traffic).  Same guard as time_chained.  ONE dynamic-k runner
+        # serves every k (round 5: per-k cg_runner compiles cost
+        # 30-60 s EACH through the remote-compile tunnel — the
+        # escalation ladder alone was 10+ minutes of compiling).
         k0, k1 = it, 4 * it
 
         def _fence(r):
@@ -515,11 +519,10 @@ def bench_cg() -> dict:
             # (its buffer is never fetched), under-counting real solves
             return float(r.residual_norm + 0.0 * r.x[0])
 
-        lo = cg_runner(Aop, iters=k0, tol=None, precond=precond)
-        t_lo = _best_call(lambda: _fence(lo(bv)))
+        runk = cg_runner_k(Aop, precond=precond)
+        t_lo = _best_call(lambda: _fence(runk(bv, k0)))
         while True:
-            hi = cg_runner(Aop, iters=k1, tol=None, precond=precond)
-            t_hi = _best_call(lambda: _fence(hi(bv)))
+            t_hi = _best_call(lambda: _fence(runk(bv, k1)))
             signal = t_hi - t_lo
             # the signal must also clear the measured call floor — at
             # the blanket edge (t_hi barely past the latency) per-iter
@@ -880,7 +883,7 @@ def bench_f64() -> dict:
         # the BASELINE 1e-10 — the gate met on silicon, not just the
         # CPU oracle.  Wall cost via the same k-differenced protocol as
         # bench_cg (single-call walls sit on the dispatch floor).
-        from tpu_spmv.solvers import cg, cg_runner
+        from tpu_spmv.solvers import cg, cg_runner_k
 
         b64 = jnp.asarray(rng.random(n), jnp.float64)
         res = cg(A, b64, tol=1e-11, maxiter=8000)
@@ -902,11 +905,11 @@ def bench_f64() -> dict:
         k0 = min(it, 500)
         k1 = 4 * k0
 
-        def _wall(k):
-            run = cg_runner(A, iters=k, tol=None)
+        runk64 = cg_runner_k(A)
 
+        def _wall(k):
             def _fence():
-                r = run(b64)     # fence BOTH buffers from one solve
+                r = runk64(b64, k)   # fence BOTH buffers from one solve
                 return float(r.residual_norm + 0.0 * r.x[0])
 
             return _best(_fence)

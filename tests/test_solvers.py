@@ -779,3 +779,19 @@ def test_dist_gmres_preconditioned_matches_serial(rng):
     assert abs(int(res.iterations) - int(sref.iterations)) <= 40
     np.testing.assert_allclose(m @ res.x.to_global(), b, rtol=1e-6,
                                atol=1e-7)
+
+
+def test_cg_runner_k_matches_fixed(spd, rng):
+    """The dynamic-k runner (one compile serves all k — the bench's
+    k-differencing protocol) matches the static fixed-k runner."""
+    from tpu_spmv.solvers import cg_runner, cg_runner_k
+
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    b = jnp.asarray(rng.standard_normal(spd.shape[0]))
+    runk = cg_runner_k(A)
+    for k in (7, 40):
+        fixed = cg_runner(A, iters=k, tol=None)(b)
+        dyn = runk(b, k)
+        np.testing.assert_allclose(np.asarray(dyn.x), np.asarray(fixed.x),
+                                   rtol=1e-10, atol=1e-12)
+        assert int(dyn.iterations) == k

@@ -2,8 +2,8 @@
 reference declares support for but never exercises (SURVEY.md §2.1 #10)."""
 
 from .block_cg import CGMultiResult, cg_multi, cg_multi_runner
-from .cg import (CGResult, cg, cg_runner, jacobi_preconditioner,
-                 power_iteration)
+from .cg import (CGResult, cg, cg_runner, cg_runner_k,
+                 jacobi_preconditioner, power_iteration)
 from .cheby import ChebyshevResult, chebyshev, chebyshev_preconditioner
 from .dist_cg import DistCGResult, dist_cg, dist_cg_ca
 from .dist_gmres import DistGMRESResult, dist_gmres
@@ -17,7 +17,8 @@ from .dist_bicgstab import DistBiCGSTABResult, dist_bicgstab
 from .relaxation import (SORResult, gauss_seidel_sweep, multicolor, sor,
                          symgs_preconditioner)
 
-__all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
+__all__ = ["CGResult", "cg", "cg_runner", "cg_runner_k",
+           "jacobi_preconditioner",
            "power_iteration",
            "CGMultiResult", "cg_multi", "cg_multi_runner",
            "ChebyshevResult", "chebyshev", "chebyshev_preconditioner",

@@ -25,7 +25,8 @@ from jax import lax
 
 from ..ops.spmv import spmv
 
-__all__ = ["CGResult", "cg", "cg_runner", "jacobi_preconditioner",
+__all__ = ["CGResult", "cg", "cg_runner", "cg_runner_k",
+           "jacobi_preconditioner",
            "power_iteration", "safe_dinv", "safe_dinv_host"]
 
 
@@ -250,6 +251,60 @@ def cg_runner(A, *, iters: int, tol: float | None = None,
         x, it, rnorm, ok = run_tol(b, x0)
         return CGResult(x=dec(x), iterations=it, residual_norm=rnorm,
                         converged=ok)
+
+    return run
+
+
+def cg_runner_k(A, *, precond: Callable | None = None,
+                report_tol: float = 1e-8) -> Callable:
+    """Like :func:`cg_runner` with ``tol=None``, but the iteration count
+    is a RUNTIME argument: ``run(b, k, x0=None)``.
+
+    One compiled program serves every ``k`` (the traced ``fori_loop``
+    bound lowers to a counted ``while_loop``) — the k-differenced timing
+    protocol otherwise pays a fresh remote XLA compile per k value,
+    which on a slow tunnel dominates the whole measurement (round 5:
+    bench_cg's escalation ladder spent 10+ minutes compiling).  The loop
+    body is identical to ``cg_runner``'s fixed form; the counter compare
+    it adds is noise next to the matvec."""
+    if precond is None:
+        enc, matvec, dec = _solver_space(A)
+        M = lambda r: r
+    else:
+        enc = dec = lambda v: v
+        matvec = _as_matvec(A)
+        M = precond
+
+    @jax.jit
+    def run_k(b, x0, k):
+        r0 = b - matvec(x0)
+        z0 = M(r0)
+        rz0 = jnp.vdot(r0, z0)
+
+        def body(_, state):
+            x, r, p, rz = state
+            Ap = matvec(p)
+            pAp = jnp.vdot(p, Ap)          # same 0/0 guards as cg_runner
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / jnp.where(rz == 0, 1.0, rz)) * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = lax.fori_loop(0, k, body, (x0, r0, z0, rz0))
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        bnorm = jnp.sqrt(jnp.vdot(b, b))
+        return x, rnorm, bnorm
+
+    def run(b, k, x0=None) -> CGResult:
+        b = enc(jnp.asarray(b))
+        x0 = jnp.zeros_like(b) if x0 is None else enc(jnp.asarray(x0))
+        x, rnorm, bnorm = run_k(b, x0, jnp.int32(k))
+        limit = report_tol * jnp.maximum(bnorm, 1e-300)
+        return CGResult(x=dec(x), iterations=jnp.int32(k),
+                        residual_norm=rnorm, converged=rnorm <= limit)
 
     return run
 
