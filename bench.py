@@ -976,6 +976,24 @@ def _pallas_copy(x, dead):
     )(x, dead)
 
 
+#: incrementally-updated detail (written to DETAIL_FILE after every leg
+#: so a tunnel stall / driver timeout mid-bench still leaves a partial
+#: committed artifact — round 5: a degraded tunnel killed a full run
+#: with zero output)
+_PARTIAL: dict = {}
+
+
+def _leg(name: str, fn):
+    out = fn()
+    _PARTIAL[name] = out
+    try:
+        with open(DETAIL_FILE, "w") as f:
+            json.dump({"partial": True, "detail": _PARTIAL}, f, indent=1)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> int:
     t_start = time.time()
     import numpy as np
@@ -1190,20 +1208,20 @@ def main() -> int:
 
     # --- SpMM (BASELINE config 3), structured case ---
     del Ss, xds           # the sharded 470 MB data copy
-    spmm_detail = bench_spmm_configs(A, scale)
+    spmm_detail = _leg("spmm", lambda: bench_spmm_configs(A, scale))
 
     # --- second metric: GPR on a random pattern (+ general SpMM) ---
-    gpr_detail = bench_gpr()
+    gpr_detail = _leg("gpr", bench_gpr)
 
     # --- BASELINE config 4: BSR 8x8 structured-PDE SpMV ---
-    bsr_detail = bench_bsr()
+    bsr_detail = _leg("bsr", bench_bsr)
 
     # --- solver + hub-row generality metrics ---
-    cg_detail = bench_cg()
-    cg16_detail = bench_cg_big(PS)
-    p3_detail = bench_poisson3d()
-    pl_detail = bench_powerlaw()
-    f64_detail = bench_f64()       # LAST: flips the process x64 flag
+    cg_detail = _leg("cg", bench_cg)
+    cg16_detail = _leg("cg_16m", lambda: bench_cg_big(PS))
+    p3_detail = _leg("poisson3d", bench_poisson3d)
+    pl_detail = _leg("power_law", bench_powerlaw)
+    f64_detail = _leg("f64", bench_f64)  # LAST: flips process x64 flag
 
     log(f"bench: total wall time {time.time() - t_start:.0f}s")
     full = {
