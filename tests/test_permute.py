@@ -135,3 +135,21 @@ def test_host_planes_out_param():
     rows = gather_rows(rows, hp["b3"])
     got = rows.reshape(T, -1)[:, :r_p].reshape(-1)[:n]
     np.testing.assert_array_equal(got, x[perm])
+
+
+def test_two_level_device_false_numpy_leaves(rng):
+    """device=False must thread through the two-level path (review r5:
+    it used to upload eagerly, defeating the chunked pack's single
+    batched device_put); the host plan still applies exactly."""
+    import jax
+
+    n = 1_700_000                       # past the single-level cap
+    perm = rng.permutation(n)
+    plan = permute.plan_permutation_auto(perm, device=False)
+    assert type(plan).__name__ == "TwoLevelPlan"
+    leaves = jax.tree_util.tree_leaves(plan)
+    assert leaves and not any(isinstance(l, jax.Array) for l in leaves)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    y = np.asarray(permute.apply_permutation(jax.device_put(plan), x,
+                                             interpret=True))
+    np.testing.assert_array_equal(y, np.asarray(x)[perm])
