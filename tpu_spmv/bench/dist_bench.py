@@ -243,10 +243,19 @@ def main(argv=None) -> int:
             x = res.x.to_global()
             rtrue = float(np.linalg.norm(bh - sp_ @ x)
                           / np.linalg.norm(bh))
+            # per-APPLY cost (one V-cycle + one halo matvec) via the
+            # chained-differenced protocol — the quotable per-iteration
+            # figure (single-call solve walls are dispatch-floor-bound
+            # on chip and compile-polluted here, ADVICE r4)
+            def apply_step(v, Ax=A, Mx=M, mesh=mesh):
+                return dist.spmv_neighbor(mesh, Ax, Mx(v))
+
+            apply_s = time_chained(apply_step, bs, iters=20)
             pt = {"solver": "dist_mgpcg", "ndev": d, "grid": gmg,
                   "n": gmg * gmg, "iterations": int(res.iterations),
                   "converged": bool(res.converged),
-                  "true_rel_residual": rtrue}
+                  "true_rel_residual": rtrue,
+                  "per_apply_us": round(apply_s * 1e6, 1)}
             assert pt["converged"] and rtrue < 1e-4, pt
             report["solver_points"].append(pt)
             print(f"    dist_mgpcg ndev={d} grid={gmg}: "
