@@ -887,10 +887,25 @@ def bench_f64() -> dict:
 
         b64 = jnp.asarray(rng.random(n), jnp.float64)
         res = cg(A, b64, tol=1e-11, maxiter=8000)
-        x64 = np.asarray(res.x)
         bh = np.asarray(b64)
-        rtrue = float(np.linalg.norm(bh - host @ x64) / np.linalg.norm(bh))
+        nb = float(np.linalg.norm(bh))
+
+        def _true_rel(xs):
+            return float(np.linalg.norm(bh - host @ np.asarray(xs)) / nb)
+
+        rtrue = _true_rel(res.x)
         it = int(res.iterations)
+        # The recursively-updated CG residual drifts from the TRUE one
+        # over ~1000 f64 iterations (measured: recursive rel 9.9e-12 vs
+        # true 2.9e-10 at iter 1061).  A restart recomputes r = b - A@x
+        # exactly and a handful of further iterations close the gap
+        # (measured: +5 iters -> true rel 1.7e-11).
+        for _ in range(3):
+            if rtrue <= 1e-10:
+                break
+            res = cg(A, b64, x0=res.x, tol=1e-11, maxiter=2000)
+            it += int(res.iterations)
+            rtrue = _true_rel(res.x)
         assert rtrue <= 1e-10, f"f64 solve gate failed: {rtrue:.3e}"
 
         def _best(fn):
