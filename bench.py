@@ -104,6 +104,8 @@ def compact_summary(full: dict) -> dict:
             "p3d_gflops": g("poisson3d", "gflops"),
             "plaw_us_per_mnnz": g("power_law", "us_per_mnnz"),
             "plaw_pack_s": g("power_law", "pack_s"),
+            "plaw_pack_mb": g("power_law", "device_payload_mb"),
+            "upload_mbps": g("power_law", "upload_mbps_probe"),
             "mgpcg_x_1024": g("cg", "to_tol", "mgpcg_speedup_vs_plain"),
             "mgpcg_x_2048": g("cg", "to_tol_2048",
                               "mgpcg_speedup_vs_plain"),
@@ -276,6 +278,7 @@ def bench_spmm_configs(A_dia, xp_scale) -> dict:
 
 def bench_gpr() -> dict:
     """Second metric: GPR vs the XLA fallback on a 700k-nnz random matrix."""
+    import jax
     import numpy as np
     import jax.numpy as jnp
 
@@ -390,6 +393,9 @@ def bench_gpr() -> dict:
         "nnz": int(sp_mat.nnz),
         "rel_err": rel,
         "pack_s": round(pack_s, 2),
+        "device_payload_mb": round(
+            sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(gp)
+                if hasattr(leaf, "nbytes")) / 1e6, 1),
         "spmm32_ms": round(spmm_dt * 1e3, 3),
         "spmm32_gflops": round(2 * sp_mat.nnz * NRHS / spmm_dt / 1e9, 2),
     }
@@ -764,6 +770,32 @@ def bench_powerlaw() -> dict:
     t0 = time.time()
     plan = plan_spmv(sp_mat, use_pallas=True, dtype=np.float32)
     pack_s = time.time() - t0
+    # pack_s is LINK-STATE-bound through the tunnel: the same code +
+    # matrix measured 2.4-12.7 s across runs (payload ~78 MB for 5M nnz
+    # — 37 MB tile-padded f32 values, the rest already-int8 routing
+    # planes — so bytes cannot shrink; host routing ~3 s overlaps the
+    # uploads).  Record the payload and a fresh-bytes upload-rate probe
+    # so the artifact separates code cost from link state.  Probe
+    # gotchas: device_put is CONTENT-keyed (probe must be fresh random
+    # bytes) and LAZY on this backend (returns before bytes move — the
+    # first compute touching the buffer pays the transfer), so the probe
+    # times a compiled reduction over the fresh buffer, with the compile
+    # + a same-shape warm transfer paid beforehand.
+    import os as _os
+
+    import jax as _jax
+    payload_mb = sum(
+        leaf.nbytes for leaf in _jax.tree_util.tree_leaves(plan.matrix)
+        if hasattr(leaf, "nbytes")) / 1e6
+    _touch = _jax.jit(lambda v: jnp.sum(v.astype(jnp.uint32) & 1))
+    warmp = np.frombuffer(_os.urandom(16 << 20), np.uint8)
+    int(_touch(_jax.device_put(warmp)))          # compile on this shape
+    fresh = np.frombuffer(_os.urandom(16 << 20), np.uint8)
+    dprobe = _jax.device_put(fresh)
+    t0 = time.time()
+    int(_touch(dprobe))                          # forces the transfer
+    upload_mbps = 16.0 / max(time.time() - t0, 1e-9)
+    del warmp, fresh, dprobe
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.random(n), jnp.float32)
     y = np.asarray(plan(x))
@@ -799,6 +831,8 @@ def bench_powerlaw() -> dict:
         "nnz": int(sp_mat.nnz),
         "rel_err": rel,
         "pack_s": round(pack_s, 2),
+        "device_payload_mb": round(payload_mb, 1),
+        "upload_mbps_probe": round(upload_mbps, 1),
         "cache_load_s": round(cache_load_s, 2),
         "us_per_mnnz": round(dt * 1e6 / (sp_mat.nnz / 1e6), 2),
     }
