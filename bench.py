@@ -920,26 +920,17 @@ def bench_f64() -> dict:
         from tpu_spmv.solvers import cg, cg_runner_k
 
         b64 = jnp.asarray(rng.random(n), jnp.float64)
-        res = cg(A, b64, tol=1e-11, maxiter=8000)
+        # true_tol: the recursively-updated CG residual drifts from the
+        # TRUE one over ~1000 f64 iterations (measured: recursive rel
+        # 9.9e-12 vs true 2.9e-10 at iter 1061); cg's true-residual
+        # restart mode recomputes r = b - A@x and closes the gap
+        # (measured: +5 iters -> 1.7e-11).  The 1e-10 gate below stays
+        # an INDEPENDENT host-oracle check.
+        res = cg(A, b64, tol=1e-11, maxiter=8000, true_tol=1e-10)
         bh = np.asarray(b64)
         nb = float(np.linalg.norm(bh))
-
-        def _true_rel(xs):
-            return float(np.linalg.norm(bh - host @ np.asarray(xs)) / nb)
-
-        rtrue = _true_rel(res.x)
+        rtrue = float(np.linalg.norm(bh - host @ np.asarray(res.x)) / nb)
         it = int(res.iterations)
-        # The recursively-updated CG residual drifts from the TRUE one
-        # over ~1000 f64 iterations (measured: recursive rel 9.9e-12 vs
-        # true 2.9e-10 at iter 1061).  A restart recomputes r = b - A@x
-        # exactly and a handful of further iterations close the gap
-        # (measured: +5 iters -> true rel 1.7e-11).
-        for _ in range(3):
-            if rtrue <= 1e-10:
-                break
-            res = cg(A, b64, x0=res.x, tol=1e-11, maxiter=2000)
-            it += int(res.iterations)
-            rtrue = _true_rel(res.x)
         assert rtrue <= 1e-10, f"f64 solve gate failed: {rtrue:.3e}"
 
         def _best(fn):

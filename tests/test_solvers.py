@@ -795,3 +795,34 @@ def test_cg_runner_k_matches_fixed(spd, rng):
         np.testing.assert_allclose(np.asarray(dyn.x), np.asarray(fixed.x),
                                    rtol=1e-10, atol=1e-12)
         assert int(dyn.iterations) == k
+
+
+def test_cg_true_tol_restarts(spd, rng):
+    """true_tol gates on the TRUE residual ||b - A@x||/||b|| and
+    restarts past an insufficient per-pass maxiter (each restart
+    recomputes r = b - A@x exactly, killing recursive-residual drift —
+    the on-chip f64 drift case measured recursive 9.9e-12 vs true
+    2.9e-10 at iter ~1000)."""
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    # one 30-iteration pass cannot converge this operator; restarts must
+    res = cg(A, jnp.asarray(b), tol=1e-12, maxiter=30,
+             true_tol=1e-10, max_restarts=20)
+    assert bool(res.converged)
+    assert int(res.iterations) > 30          # accumulated across restarts
+    r_true = np.linalg.norm(b - spd @ np.asarray(res.x))
+    assert r_true <= 1e-10 * np.linalg.norm(b)
+    # residual_norm IS the true residual in this mode
+    np.testing.assert_allclose(float(res.residual_norm), r_true,
+                               rtol=1e-6, atol=1e-14)
+
+
+def test_cg_true_tol_stall_guard(spd, rng):
+    """An inner tol ABOVE true_tol cannot make progress; the restart
+    loop must detect the 0-iteration stall and return non-converged
+    instead of spinning max_restarts no-ops."""
+    b = rng.standard_normal(spd.shape[0])
+    A = ts.convert(ts.COO.from_scipy(spd), "csr")
+    res = cg(A, jnp.asarray(b), tol=1e-4, maxiter=2000,
+             true_tol=1e-14, max_restarts=50)
+    assert not bool(res.converged)
